@@ -1,0 +1,136 @@
+"""Batching for graph-level tasks (DIFFormer_v2 path).
+
+The reference uses PyG's block-diagonal ``Batch`` plus per-layer pad/scatter
+round-trips (``physical particle/difformer-v2.py:8-28``). TPU-native design:
+batches are padded **once** on host into a dense ``[B, M, F]`` layout with a
+node mask, and the block-diagonal edge list is re-indexed into the padded
+flat space ``b*M + slot``, padded to a static edge bucket. Every downstream
+op is then static-shaped and MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from flax import struct
+
+
+@struct.dataclass
+class PaddedGraphBatch:
+    """Device-ready batch of B graphs padded to M nodes each."""
+
+    node_feat: Any              # [B, M, F]
+    node_mask: Any              # bool [B, M]
+    n_nodes: Any                # int32 [B] (0 for padding graphs)
+    senders: Any                # int32 [E_pad] in padded-flat coords
+    receivers: Any              # int32 [E_pad]
+    edge_mask: Any              # bool [E_pad]
+    edge_weight: Optional[Any] = None
+    labels: Optional[Any] = None        # [B] or [B, T]
+    graph_mask: Optional[Any] = None    # bool [B] — False for padding graphs
+
+    @property
+    def batch_size(self):
+        return self.node_feat.shape[0]
+
+    @property
+    def max_nodes(self):
+        return self.node_feat.shape[1]
+
+
+def pad_graph_batch(
+    node_feats: Sequence[np.ndarray],
+    edge_indices: Sequence[np.ndarray],
+    labels: Optional[Sequence[Any]] = None,
+    *,
+    max_nodes: Optional[int] = None,
+    max_edges: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    edge_weights: Optional[Sequence[np.ndarray]] = None,
+) -> PaddedGraphBatch:
+    """Assemble host graphs into a PaddedGraphBatch (numpy arrays).
+
+    ``max_nodes``/``max_edges``/``batch_size`` fix static shapes across
+    batches (pass bucket sizes so jit compiles once); defaults are the batch
+    maxima.
+    """
+    b_real = len(node_feats)
+    B = batch_size or b_real
+    M = max_nodes or max(int(f.shape[0]) for f in node_feats)
+    total_e = sum(int(e.shape[1]) for e in edge_indices)
+    E = max_edges or max(total_e, 1)
+    F = int(node_feats[0].shape[1])
+
+    x = np.zeros((B, M, F), dtype=np.float32)
+    node_mask = np.zeros((B, M), dtype=bool)
+    n_nodes = np.zeros((B,), dtype=np.int32)
+    graph_mask = np.zeros((B,), dtype=bool)
+    senders = np.zeros((E,), dtype=np.int32)
+    receivers = np.zeros((E,), dtype=np.int32)
+    edge_mask = np.zeros((E,), dtype=bool)
+    ew = None
+    if edge_weights is not None:
+        ew = np.zeros((E,), dtype=np.float32)
+
+    e_off = 0
+    for b in range(b_real):
+        n = int(node_feats[b].shape[0])
+        if n > M:
+            raise ValueError(f"graph {b} has {n} nodes > max_nodes {M}")
+        x[b, :n] = node_feats[b]
+        node_mask[b, :n] = True
+        n_nodes[b] = n
+        graph_mask[b] = True
+        ei = np.asarray(edge_indices[b])
+        e = ei.shape[1]
+        if e_off + e > E:
+            raise ValueError(f"edge total exceeds max_edges {E}")
+        senders[e_off:e_off + e] = ei[0] + b * M
+        receivers[e_off:e_off + e] = ei[1] + b * M
+        edge_mask[e_off:e_off + e] = True
+        if ew is not None:
+            ew[e_off:e_off + e] = edge_weights[b]
+        e_off += e
+
+    lab = None
+    if labels is not None:
+        lab = np.asarray(labels, dtype=np.float32)
+        if lab.shape[0] < B:
+            pad_shape = (B - lab.shape[0],) + lab.shape[1:]
+            lab = np.concatenate([lab, np.zeros(pad_shape, lab.dtype)], axis=0)
+
+    return PaddedGraphBatch(
+        node_feat=x,
+        node_mask=node_mask,
+        n_nodes=n_nodes,
+        senders=senders,
+        receivers=receivers,
+        edge_mask=edge_mask,
+        edge_weight=ew,
+        labels=lab,
+        graph_mask=graph_mask,
+    )
+
+
+def batch_iterator(dataset: List, indices, batch_size, *, max_nodes, max_edges,
+                   shuffle=False, rng=None, drop_last=False):
+    """Yield PaddedGraphBatch over ``dataset[i] = (x, edge_index, label)``."""
+    idx = np.asarray(indices)
+    if shuffle:
+        rng = rng or np.random.default_rng()
+        idx = idx[rng.permutation(idx.shape[0])]
+    for start in range(0, idx.shape[0], batch_size):
+        sel = idx[start:start + batch_size]
+        if drop_last and sel.shape[0] < batch_size:
+            return
+        graphs = [dataset[i] for i in sel]
+        yield pad_graph_batch(
+            [g[0] for g in graphs],
+            [g[1] for g in graphs],
+            [g[2] for g in graphs],
+            max_nodes=max_nodes,
+            max_edges=max_edges,
+            batch_size=batch_size,
+        )

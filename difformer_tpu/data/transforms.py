@@ -1,0 +1,191 @@
+"""Host-side graph preprocessing (numpy).
+
+Replaces the PyG utils the reference calls in every trainer before the single
+host→device transfer: ``to_undirected`` + ``remove_self_loops`` +
+``add_self_loops`` (``node classification/main.py:72-76``), row feature
+normalization (``data_utils.py:229-236``), induced subgraph extraction for
+mini-batching (``main-batch.py:131``), and kNN graph construction from
+features (``image and text/main.py:51-54``). All static-shape friendly: edge
+lists can be padded to buckets for jit stability.
+
+A C++ fast path for the heavy routines lives in ``difformer_tpu/native`` and
+is used automatically when built (see ``difformer_tpu.native``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_undirected(edge_index):
+    """Symmetrize + dedupe: both directions of every edge, unique pairs."""
+    ei = np.asarray(edge_index)
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    # unique columns
+    flat = both[0].astype(np.int64) * (both.max() + 1) + both[1]
+    _, keep = np.unique(flat, return_index=True)
+    return both[:, np.sort(keep)]
+
+
+def remove_self_loops(edge_index, edge_weight=None):
+    ei = np.asarray(edge_index)
+    mask = ei[0] != ei[1]
+    if edge_weight is not None:
+        return ei[:, mask], edge_weight[mask]
+    return ei[:, mask], None
+
+
+def add_self_loops(edge_index, num_nodes, edge_weight=None, fill_value=1.0):
+    ei = np.asarray(edge_index)
+    loops = np.tile(np.arange(num_nodes, dtype=ei.dtype), (2, 1))
+    out = np.concatenate([ei, loops], axis=1)
+    if edge_weight is not None:
+        w = np.concatenate(
+            [edge_weight, np.full(num_nodes, fill_value, dtype=edge_weight.dtype)]
+        )
+        return out, w
+    return out, None
+
+
+def standard_preprocess(edge_index, num_nodes):
+    """The reference's canonical prep (``main.py:72-76``): symmetrize,
+    drop self loops, add self loops."""
+    ei = to_undirected(edge_index)
+    ei, _ = remove_self_loops(ei)
+    ei, _ = add_self_loops(ei, num_nodes)
+    return ei
+
+
+def sort_edges_by_receiver(edge_index, edge_weight=None):
+    """CSR order (sorted by destination) → unlocks XLA's sorted-scatter."""
+    ei = np.asarray(edge_index)
+    order = np.argsort(ei[1], kind="stable")
+    ei = ei[:, order]
+    if edge_weight is not None:
+        return ei, edge_weight[order]
+    return ei, None
+
+
+def normalize_feat(feat):
+    """Row-normalize features (``data_utils.py:229-236``)."""
+    feat = np.asarray(feat, dtype=np.float32)
+    rowsum = feat.sum(axis=1, keepdims=True)
+    rowsum[rowsum == 0] = 1.0
+    return feat / rowsum
+
+
+def subgraph(node_idx, edge_index, num_nodes, relabel_nodes=True):
+    """Induced subgraph on ``node_idx`` (PyG ``subgraph`` parity — the
+    mini-batch trainer's chunking drops cross-chunk edges by design,
+    ``main-batch.py:131``; SURVEY.md §7.3 item 5)."""
+    node_idx = np.asarray(node_idx)
+    mask = np.zeros(num_nodes, dtype=bool)
+    mask[node_idx] = True
+    ei = np.asarray(edge_index)
+    emask = mask[ei[0]] & mask[ei[1]]
+    sub = ei[:, emask]
+    if relabel_nodes:
+        remap = -np.ones(num_nodes, dtype=np.int64)
+        remap[node_idx] = np.arange(node_idx.shape[0])
+        sub = remap[sub]
+    return sub, emask
+
+
+def pad_edges(edge_index, edge_weight, target_e, *, pad_index=0):
+    """Pad an edge list to a static bucket size; returns (ei, w, mask).
+
+    Padded edges point at ``pad_index`` and carry mask=False; downstream
+    ``gcn_conv(..., edge_mask=...)`` excludes them from degrees and messages.
+    """
+    ei = np.asarray(edge_index)
+    e = ei.shape[1]
+    if e > target_e:
+        raise ValueError(f"edge count {e} exceeds bucket {target_e}")
+    mask = np.zeros(target_e, dtype=bool)
+    mask[:e] = True
+    out = np.full((2, target_e), pad_index, dtype=ei.dtype)
+    out[:, :e] = ei
+    w = None
+    if edge_weight is not None:
+        w = np.zeros(target_e, dtype=np.float32)
+        w[:e] = edge_weight
+    return out, w, mask
+
+
+def edge_bucket(e, buckets=None, *, growth=1.3, minimum=128):
+    """Pick a static padding bucket for ``e`` edges (geometric buckets keep
+    the number of distinct compiled shapes logarithmic)."""
+    if buckets is not None:
+        for b in buckets:
+            if e <= b:
+                return b
+        raise ValueError(f"{e} edges exceed largest bucket {buckets[-1]}")
+    b = minimum
+    while b < e:
+        b = int(np.ceil(b * growth / minimum) * minimum)
+    return b
+
+
+def knn_graph(features, k, *, include_self=True, loop=False, metric="euclidean"):
+    """kNN graph from feature/coordinate rows (numpy, blocked O(N·B) memory).
+
+    Replaces sklearn ``kneighbors_graph(..., include_self=True)`` in the
+    image-text track (``image and text/main.py:51-54``) and PyG
+    ``knn_graph(pos, k, loop=True)`` in the particle datasets
+    (``physical particle/datasets/actstrack.py:178``). Returns edge_index
+    [2, N*k] with edges src=neighbor → dst=node (directed, PyG convention).
+
+    include_self: the node itself counts as one of its k neighbors (sklearn
+    ``include_self=True`` semantics used by the image-text track).
+    loop: alias for include_self (PyG naming).
+    """
+    x = np.asarray(features, dtype=np.float32)
+    n = x.shape[0]
+    include_self = include_self or loop
+    kk = min(k, n)
+    block = max(1, min(n, int(2**22 // max(n, 1)) or 1))
+    nbrs = np.empty((n, kk), dtype=np.int64)
+    sq = (x * x).sum(axis=1)
+    for start in range(0, n, block):
+        stop = min(n, start + block)
+        if metric == "euclidean":
+            d = sq[start:stop, None] - 2.0 * (x[start:stop] @ x.T) + sq[None, :]
+        elif metric == "cosine":
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            d = 1.0 - xn[start:stop] @ xn.T
+        else:
+            raise ValueError(metric)
+        if not include_self:
+            rows = np.arange(start, stop)
+            d[np.arange(stop - start), rows] = np.inf
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        # sort the k selected by distance for determinism
+        order = np.argsort(np.take_along_axis(d, part, axis=1), axis=1)
+        nbrs[start:stop] = np.take_along_axis(part, order, axis=1)
+    dst = np.repeat(np.arange(n, dtype=np.int64), kk)
+    src = nbrs.reshape(-1)
+    return np.stack([src, dst], axis=0)
+
+
+def radius_graph(pos, r, *, loop=True, max_num_neighbors=None):
+    """All pairs within radius ``r`` (PyG ``radius_graph`` parity,
+    ``physical particle/datasets/tau3mu.py:95``)."""
+    x = np.asarray(pos, dtype=np.float32)
+    n = x.shape[0]
+    sq = (x * x).sum(axis=1)
+    d2 = sq[:, None] - 2.0 * (x @ x.T) + sq[None, :]
+    mask = d2 <= r * r
+    if not loop:
+        np.fill_diagonal(mask, False)
+    dst, src = np.where(mask)  # row = center, col = neighbor
+    if max_num_neighbors is not None:
+        keep = []
+        for i in range(n):
+            sel = np.where(dst == i)[0]
+            if sel.shape[0] > max_num_neighbors:
+                order = np.argsort(d2[i, src[sel]])[:max_num_neighbors]
+                sel = sel[order]
+            keep.append(sel)
+        keep = np.concatenate(keep)
+        src, dst = src[keep], dst[keep]
+    return np.stack([src, dst], axis=0)

@@ -1,0 +1,222 @@
+"""DIFFormer (v1): energy-constrained diffusion transformer for one graph.
+
+Reference: ``node classification/difformer.py:81-226`` (superset variant with
+``graph_weight`` and ``use_source``; the image-text / spatial-temporal copies
+are the same module minus those two flags). Architecture per layer:
+
+    q, k, v = Wq(x), Wk(x), Wv(x)          # [N, H, D]
+    a = global_attention(q, k, v)          # 'simple' (O(N)) or 'sigmoid' (O(N²))
+    g = gcn_conv(v, edge_index)            # optional graph branch
+    h = a + g   |   (1-w)·a + w·g          # graph_weight blend
+    h = mean over heads [+ x_0]            # use_source adds layer-0 features
+    x = α·h + (1-α)·x_prev                 # residual vs *previous* layer
+    x = LayerNorm(x); dropout
+
+Parity notes (SURVEY.md §7.3): the residual mixes with the previous layer,
+not x₀ (``difformer.py:199-201``); ``use_bn`` means LayerNorm; input block is
+Linear → LayerNorm → ReLU → dropout (``difformer.py:188-192``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from difformer_tpu.nn.common import TorchLayerNorm, TorchLinear
+from difformer_tpu.ops.graph_ops import gcn_conv
+from difformer_tpu.ops.linear_attention import simple_attention
+from difformer_tpu.ops.sigmoid_attention import (
+    sigmoid_attention,
+    sigmoid_attention_dense,
+)
+
+
+class DIFFormerConv(nn.Module):
+    """One DIFFormer layer (reference ``DIFFormerConv``, difformer.py:81-145)."""
+
+    out_channels: int
+    num_heads: int = 1
+    kernel: str = "simple"          # 'simple' | 'sigmoid'
+    use_graph: bool = True
+    use_weight: bool = True
+    graph_weight: float = -1.0
+    use_source: bool = False
+    axis_name: Optional[str] = None  # mesh axis for node-sharded execution
+
+    @nn.compact
+    def __call__(
+        self,
+        query_input,
+        source_input,
+        senders=None,
+        receivers=None,
+        edge_weight=None,
+        x_0=None,
+        *,
+        node_mask=None,
+        edge_mask=None,
+        num_nodes_global=None,
+        indices_are_sorted=False,
+        output_attn=False,
+    ):
+        H, D = self.num_heads, self.out_channels
+        query = TorchLinear(D * H, name="Wq")(query_input).reshape(-1, H, D)
+        key = TorchLinear(D * H, name="Wk")(source_input).reshape(-1, H, D)
+        if self.use_weight:
+            value = TorchLinear(D * H, name="Wv")(source_input).reshape(-1, H, D)
+        else:
+            # reference difformer.py:120 — raw features as a single head
+            value = source_input.reshape(-1, 1, D)
+
+        attn = None
+        if self.kernel == "simple":
+            result = simple_attention(
+                query, key, value,
+                key_mask=node_mask,
+                num_queries=num_nodes_global,
+                output_attn=output_attn,
+                axis_name=self.axis_name,
+            )
+            attention_output = result[0] if output_attn else result
+            if output_attn:
+                attn = result[1]
+        elif self.kernel == "sigmoid":
+            if output_attn:
+                attention_output, attn = sigmoid_attention_dense(
+                    query, key, value, key_mask=node_mask, output_attn=True
+                )
+            elif self.axis_name is not None:
+                from difformer_tpu.parallel.sharded_ops import (
+                    sigmoid_attention_sharded,
+                )
+
+                attention_output = sigmoid_attention_sharded(
+                    query, key, value, key_mask=node_mask,
+                    axis_name=self.axis_name,
+                )
+            else:
+                attention_output = sigmoid_attention(
+                    query, key, value, key_mask=node_mask
+                )
+        else:
+            raise ValueError(f"unknown kernel {self.kernel!r}")
+
+        if self.use_graph:
+            if self.axis_name is not None:
+                from difformer_tpu.parallel.sharded_ops import gcn_conv_sharded
+
+                graph_output = gcn_conv_sharded(
+                    value, senders, receivers, edge_weight,
+                    edge_mask=edge_mask, axis_name=self.axis_name,
+                )
+            else:
+                graph_output = gcn_conv(
+                    value, senders, receivers, edge_weight,
+                    edge_mask=edge_mask,
+                    indices_are_sorted=indices_are_sorted,
+                )
+            if self.graph_weight > 0:
+                final_output = (
+                    (1 - self.graph_weight) * attention_output
+                    + self.graph_weight * graph_output
+                )
+            else:
+                final_output = attention_output + graph_output
+        else:
+            final_output = attention_output
+
+        final_output = final_output.mean(axis=1)
+
+        if self.use_source:
+            final_output = final_output + x_0
+
+        if output_attn:
+            return final_output, attn
+        return final_output
+
+
+class DIFFormer(nn.Module):
+    """Full DIFFormer model (reference ``DIFFormer``, difformer.py:147-226)."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    num_heads: int = 1
+    kernel: str = "simple"
+    alpha: float = 0.5
+    dropout: float = 0.5
+    use_bn: bool = True             # LayerNorm (reference naming)
+    use_residual: bool = True
+    use_weight: bool = True
+    use_graph: bool = True
+    graph_weight: float = -1.0
+    use_source: bool = False
+    axis_name: Optional[str] = None
+
+    def _conv(self, i):
+        return DIFFormerConv(
+            out_channels=self.hidden_channels,
+            num_heads=self.num_heads,
+            kernel=self.kernel,
+            use_graph=self.use_graph,
+            use_weight=self.use_weight,
+            graph_weight=self.graph_weight,
+            use_source=self.use_source,
+            axis_name=self.axis_name,
+            name=f"conv_{i}",
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        senders=None,
+        receivers=None,
+        edge_weight=None,
+        *,
+        node_mask=None,
+        edge_mask=None,
+        num_nodes_global=None,
+        indices_are_sorted=False,
+        train=False,
+        output_attn=False,
+    ):
+        drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        # input MLP block (difformer.py:188-192)
+        x = TorchLinear(self.hidden_channels, name="fc_in")(x)
+        if self.use_bn:
+            x = TorchLayerNorm(name="ln_0")(x)
+        x = nn.relu(x)
+        x = drop(x)
+
+        x_0 = x
+        prev = x
+        attentions = []
+        for i in range(self.num_layers):
+            out = self._conv(i)(
+                x, x, senders, receivers, edge_weight, x_0,
+                node_mask=node_mask,
+                edge_mask=edge_mask,
+                num_nodes_global=num_nodes_global,
+                indices_are_sorted=indices_are_sorted,
+                output_attn=output_attn,
+            )
+            if output_attn:
+                x, attn = out
+                attentions.append(attn)
+            else:
+                x = out
+            if self.use_residual:
+                x = self.alpha * x + (1 - self.alpha) * prev
+            if self.use_bn:
+                x = TorchLayerNorm(name=f"ln_{i + 1}")(x)
+            x = drop(x)
+            prev = x
+
+        x_out = TorchLinear(self.out_channels, name="fc_out")(x)
+        if output_attn:
+            return x_out, jnp.stack(attentions, axis=0)
+        return x_out

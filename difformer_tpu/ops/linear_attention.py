@@ -1,0 +1,143 @@
+"""DIFFormer-s linear global attention ("simple" kernel).
+
+This is the O(N·d²) decomposition that makes full-graph attention feasible:
+the N×L attention matrix ``(1 + q·k') / (N + q·Σk')`` is never materialized —
+only the rank-d aggregates ``Σ_l k_l ⊗ v_l`` ([H, M, D]) and ``Σ_l k_l``
+([H, M]) are computed, then each query is rescaled locally. Reference
+semantics: ``node classification/difformer.py:10-43``.
+
+Parity quirks reproduced deliberately (SURVEY.md §7.3):
+  * q and k are each normalized by the **global Frobenius norm of the whole
+    tensor** (``torch.norm(qs, p=2)`` with no dim, ``difformer.py:20-21``) —
+    not per-row or per-head.
+  * the numerator adds the raw ``Σ_l v_l`` term and the denominator adds
+    ``N`` (the *query* count, ``difformer.py:27-29,38``) — the uniform
+    all-pairs diffusion component.
+
+Distributed form: both aggregates are plain sums over key rows, so a
+node-sharded graph needs exactly two small ``psum``s per layer ([H,M] and
+[H,M,D], invariant to N) — see ``difformer_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _frobenius_normalize(t, axis_name=None):
+    """t / ||t||_F over the *entire* (global, if sharded) tensor.
+
+    Under ``shard_map`` the reference's whole-tensor norm becomes a single
+    scalar ``psum`` over the mesh axis — the sharded math stays bit-identical
+    to the single-device math.
+    """
+    sumsq = jnp.sum(jnp.square(t.astype(jnp.float32)))
+    if axis_name is not None:
+        sumsq = jax.lax.psum(sumsq, axis_name)
+    norm = jnp.sqrt(sumsq)
+    return (t.astype(jnp.float32) / norm).astype(t.dtype)
+
+
+def simple_attention_aggregates(ks, vs, key_mask=None):
+    """The two global aggregates. ks: [L,H,M] (pre-normalized), vs: [L,H,D].
+
+    Returns (kv [H,M,D], k_sum [H,M], v_sum [H,D], count []).
+    With a key_mask, padded rows are excluded (needed for static-shape
+    mini-batching); reference has no mask (always dense).
+    """
+    if key_mask is not None:
+        m = key_mask.astype(ks.dtype)[:, None, None]
+        ks = ks * m
+        vs = vs * m
+        count = jnp.sum(key_mask.astype(jnp.float32))
+    else:
+        count = jnp.float32(ks.shape[0])
+    kv = jnp.einsum("lhm,lhd->hmd", ks, vs)
+    k_sum = jnp.sum(ks, axis=0)
+    v_sum = jnp.sum(vs, axis=0)
+    return kv, k_sum, v_sum, count
+
+
+def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
+                     output_attn=False, axis_name=None):
+    """DIFFormer-s attention. qs: [N,H,M], ks: [L,H,M], vs: [L,H,D] → [N,H,D].
+
+    ``num_queries`` overrides the ``+N`` denominator term (the reference uses
+    the query count, ``difformer.py:38``).
+
+    ``axis_name``: when running node-sharded under ``shard_map``, the name of
+    the mesh axis nodes are sharded over. The global attention then costs
+    exactly three small collectives per call — a scalar psum for each
+    Frobenius norm and psums of the [H,M,D]+[H,M] aggregates — invariant to
+    N; this is the TPU-native sequence-parallel analog of the O(N) kernel
+    (SURVEY.md §2.6 SP row).
+
+    With ``key_mask`` (padded graphs), masked rows are zeroed *before* the
+    Frobenius norms so padding cannot perturb the normalization — the result
+    is bit-equivalent to running unpadded.
+    """
+    if key_mask is not None:
+        m = key_mask.astype(qs.dtype)[:, None, None]
+        qs = qs * m
+        ks = ks * m
+    qs = _frobenius_normalize(qs, axis_name)
+    ks = _frobenius_normalize(ks, axis_name)
+
+    kv, k_sum, v_sum, count = simple_attention_aggregates(ks, vs, key_mask)
+    if axis_name is not None:
+        kv = jax.lax.psum(kv, axis_name)
+        k_sum = jax.lax.psum(k_sum, axis_name)
+        v_sum = jax.lax.psum(v_sum, axis_name)
+        if num_queries is None:
+            # reference adds the *query* count; queries == keys in all tracks
+            num_queries = jax.lax.psum(count, axis_name)
+    if num_queries is None:
+        num_queries = qs.shape[0]
+
+    numerator = jnp.einsum("nhm,hmd->nhd", qs, kv) + v_sum[None, :, :]
+    denominator = jnp.einsum("nhm,hm->nh", qs, k_sum) + jnp.asarray(
+        num_queries, dtype=qs.dtype
+    )
+    out = numerator / denominator[..., None]
+
+    if output_attn:
+        # Visualization path (reference ``get_attentions``, difformer.py:43):
+        # explicit [N, L, H] — only for small graphs.
+        attn = jnp.einsum("nhm,lhm->nlh", qs, ks) / denominator[:, None, :]
+        return out, attn
+    return out
+
+
+def simple_attention_padded(q_pad, k_pad, v_pad, node_mask, n_nodes):
+    """Per-graph linear attention over a padded batch (DIFFormer_v2 'simple').
+
+    q_pad/k_pad/v_pad: [B, M, H, D]; node_mask: bool [B, M]; n_nodes: [B].
+    Matches ``physical particle/difformer-v2.py:80-111``: q/k are normalized
+    by the Frobenius norm over the whole (flat) batch, then per-graph
+    aggregates replace the global ones; the denominator adds each graph's own
+    node count. Padded slots contribute zero (they are zero in *_pad).
+    Returns [B, M, H, D] (padded positions hold garbage/zeros; mask out).
+
+    The padded-dense layout is the TPU-idiomatic choice for batches of small
+    graphs: every einsum below is a batched matmul on the MXU, where the
+    reference used scatter_add_ + pad round-trips per layer.
+    """
+    mask = node_mask[..., None, None].astype(q_pad.dtype)
+    q_pad = _frobenius_normalize(q_pad * mask) * mask
+    k_pad = _frobenius_normalize(k_pad * mask) * mask
+    v_pad = v_pad * mask
+
+    # Per-graph aggregates.
+    kv = jnp.einsum("bmhk,bmhd->bhkd", k_pad, v_pad)         # [B, H, K, D]
+    k_sum = jnp.sum(k_pad, axis=1)                            # [B, H, K]
+    v_sum = jnp.sum(v_pad, axis=1)                            # [B, H, D]
+
+    numerator = jnp.einsum("bmhk,bhkd->bmhd", q_pad, kv)
+    numerator = numerator + v_sum[:, None, :, :]
+    denominator = jnp.einsum("bmhk,bhk->bmh", q_pad, k_sum)
+    denominator = denominator + n_nodes.astype(q_pad.dtype)[:, None, None]
+    out = numerator / denominator[..., None]
+    # Padded slots/graphs would be 0/0 → NaN; zero them so padding can never
+    # poison pooling or LayerNorm downstream. Real slots are untouched.
+    return jnp.where(node_mask[..., None, None], out, 0.0)

@@ -1,0 +1,157 @@
+"""High-level distributed execution API.
+
+``sharded_apply``/``make_sharded_train_step`` wrap a node-level model
+(DIFFormer) in ``shard_map`` over a 1-D mesh axis: node features, labels and
+per-shard edge lists are sharded; parameters are replicated; the collectives
+inside the ops (psum'd attention aggregates, all-gather for the GCN branch,
+ring sigmoid attention) make the result bit-equivalent to the single-device
+run on the unpadded graph. Gradients under shard_map get their psum from the
+partitioned loss automatically (jax transposes the collectives).
+
+This is the component the reference lacks entirely (SURVEY.md §2.6): the
+multi-chip path validated by ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from difformer_tpu.parallel.mesh import GRAPH_AXIS
+from difformer_tpu.parallel.partition import ShardedGraph
+
+
+def _graph_specs(sg: ShardedGraph, axis: str):
+    """PartitionSpecs for the ShardedGraph pytree (leading dim = shards)."""
+    def spec(leaf):
+        return P(axis)
+
+    return jax.tree_util.tree_map(spec, sg)
+
+
+def shard_graph_to_mesh(sg: ShardedGraph, mesh: Mesh, axis: str = GRAPH_AXIS):
+    """Place stacked per-shard arrays so shard s lives on device s."""
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P(axis)))
+
+    return jax.tree_util.tree_map(put, sg)
+
+
+def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
+    """Build ``fn(params, sharded_graph, rng=None, train=False) -> logits``
+    running under shard_map. ``model`` must be constructed with
+    ``axis_name=axis``. Returns logits stacked [S, N_loc, C]."""
+
+    def body(params, x, node_mask, senders, receivers, edge_mask, edge_weight,
+             rng, train):
+        # shard_map slices the stacked [S, ...] arrays to [1, ...]; squeeze
+        x, node_mask = x[0], node_mask[0]
+        senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
+        if edge_weight is not None:
+            edge_weight = edge_weight[0]
+        rngs = None
+        if rng is not None:
+            # fold in the shard index for decorrelated dropout
+            rngs = {
+                "dropout": jax.random.fold_in(
+                    rng, jax.lax.axis_index(axis)
+                )
+            }
+        return model.apply(
+            {"params": params},
+            x,
+            senders,
+            receivers,
+            edge_weight,
+            node_mask=node_mask,
+            edge_mask=edge_mask,
+            train=train,
+            rngs=rngs,
+        )
+
+    def apply_fn(params, sg: ShardedGraph, rng=None, train=False):
+        ew = sg.edge_weight
+        in_specs = (
+            P(),            # params replicated
+            P(axis),        # node_feat
+            P(axis),        # node_mask
+            P(axis),        # senders
+            P(axis),        # receivers
+            P(axis),        # edge_mask
+            P() if ew is None else P(axis),
+            P(),            # rng
+        )
+        f = jax.shard_map(
+            functools.partial(body, train=train),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(axis),
+        )
+        return f(
+            params, sg.node_feat, sg.node_mask, sg.senders, sg.receivers,
+            sg.edge_mask, ew, rng,
+        )
+
+    return apply_fn
+
+
+def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
+                            axis: str = GRAPH_AXIS):
+    """Jitted distributed train step over a ShardedGraph.
+
+    loss_fn(logits_local, labels_local, mask_local) -> (sum_loss, count) so
+    the global mean is psum(sum)/psum(count) — computed here.
+    """
+
+    def body(params, opt_state, x, node_mask, senders, receivers, edge_mask,
+             edge_weight, labels, label_mask, rng):
+        x, node_mask = x[0], node_mask[0]
+        senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
+        labels, label_mask = labels[0], label_mask[0]
+        if edge_weight is not None:
+            edge_weight = edge_weight[0]
+
+        def local_loss(p):
+            rngs = {
+                "dropout": jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            }
+            out = model.apply(
+                {"params": p}, x, senders, receivers, edge_weight,
+                node_mask=node_mask, edge_mask=edge_mask, train=True,
+                rngs=rngs,
+            )
+            s, c = loss_fn(out, labels, label_mask)
+            return jax.lax.psum(s, axis) / jnp.maximum(
+                jax.lax.psum(c, axis), 1.0
+            )
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # grads of replicated params under shard_map are already psum'd by
+        # the transpose of the collectives; loss is identical on all shards.
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state, sg: ShardedGraph, rng):
+        ew = sg.edge_weight
+        in_specs = (
+            P(), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P() if ew is None else P(axis),
+            P(axis), P(axis), P(),
+        )
+        f = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(), P(), P()),
+        )
+        return f(
+            params, opt_state, sg.node_feat, sg.node_mask, sg.senders,
+            sg.receivers, sg.edge_mask, ew, sg.labels, sg.label_mask, rng,
+        )
+
+    return jax.jit(step, donate_argnums=(0, 1))

@@ -1,0 +1,110 @@
+"""Collective-augmented graph ops for node-sharded execution under shard_map.
+
+Each op here is the distributed twin of a single-device op in
+``difformer_tpu.ops`` and is bit-compatible with it on an unsharded input:
+
+* ``gcn_conv_sharded`` — receiver-owned edge partition: degrees are local
+  (every edge of a local receiver is local), sender features and the global
+  degree vector arrive via ``all_gather`` over the mesh axis (tiled, rides
+  ICI). The scatter itself stays local. [Round-1 design: full gather; the
+  boundary-only all-to-all + Pallas-overlap variant is the planned upgrade.]
+* ``sigmoid_attention_sharded`` — ring attention over node shards: key/value
+  shards rotate around the ring via ``ppermute`` while each shard accumulates
+  its queries' numerator/denominator; N×N is never materialized and peak
+  memory is one remote shard. The backward differentiates through the ring.
+* linear 'simple' attention needs no op here — its distributed form is two
+  psums inside ``difformer_tpu.ops.linear_attention.simple_attention``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from difformer_tpu.ops.segment import segment_sum
+
+
+def _axis_size(axis_name):
+    return jax.lax.psum(1, axis_name)
+
+
+def gcn_conv_sharded(x, senders_global, receivers_local, edge_weight=None,
+                     *, edge_mask=None, axis_name="graph"):
+    """Distributed symmetric-normalized conv.
+
+    x: local node features [N_loc, ...]; senders_global: [E_loc] global
+    (padded) node ids; receivers_local: [E_loc] local ids; edge_mask zeroes
+    padded edges. Matches ``ops.graph_ops.gcn_conv`` semantics globally.
+    """
+    n_loc = x.shape[0]
+    ones = (
+        edge_mask.astype(jnp.float32)
+        if edge_mask is not None
+        else jnp.ones(senders_global.shape, jnp.float32)
+    )
+    deg_local = segment_sum(ones, receivers_local, n_loc)
+    deg_full = jax.lax.all_gather(deg_local, axis_name, tiled=True)  # [N_glob]
+    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+    shard = jax.lax.axis_index(axis_name)
+    recv_global = receivers_local + shard * n_loc
+
+    inv_sqrt = jnp.sqrt(1.0 / deg_full)
+    value = inv_sqrt[recv_global] * inv_sqrt[senders_global]
+    if edge_weight is not None:
+        value = edge_weight * value
+    value = jnp.where(jnp.isfinite(value), value, 0.0) * ones
+
+    msg = jnp.take(x_full, senders_global, axis=0) * value.reshape(
+        (-1,) + (1,) * (x.ndim - 1)
+    ).astype(x.dtype)
+    return segment_sum(msg, receivers_local, n_loc, indices_are_sorted=True)
+
+
+def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
+    """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
+
+    Globally equivalent to ``ops.sigmoid_attention.sigmoid_attention`` on the
+    concatenated tensors. Each of the S ring steps computes the local queries
+    against one rotating key/value shard; ``ppermute`` moves shards around
+    the ring (ICI neighbor exchange), overlapping naturally under XLA's
+    latency-hiding scheduler.
+    """
+    if key_mask is None:
+        key_mask = jnp.ones((ks.shape[0],), jnp.float32)
+    key_mask = key_mask.astype(jnp.float32)
+    n_shards = _axis_size(axis_name)
+
+    def step(carry, _):
+        num, den, k_c, v_c, m_c = carry
+        s = jax.nn.sigmoid(jnp.einsum("nhm,lhm->nlh", qs, k_c))
+        s = s * m_c[None, :, None]
+        num = num + jnp.einsum("nlh,lhd->nhd", s, v_c)
+        den = den + jnp.sum(s, axis=1)
+        perm = [
+            (i, (i + 1) % n_shards) for i in range(n_shards)
+        ]
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        m_c = jax.lax.ppermute(m_c, axis_name, perm)
+        return (num, den, k_c, v_c, m_c), None
+
+    def _varying(x):
+        # zero-filled / constant carries start 'unvarying' under shard_map's
+        # vma tracking; mark them device-varying so the scan carry types match
+        if hasattr(jax.lax, "pcast"):
+            try:
+                return jax.lax.pcast(x, (axis_name,), to="varying")
+            except ValueError:
+                return x  # already varying
+        return x
+
+    init = (
+        _varying(jnp.zeros((qs.shape[0], qs.shape[1], vs.shape[2]), jnp.float32)),
+        _varying(jnp.zeros((qs.shape[0], qs.shape[1]), jnp.float32)),
+        ks,
+        vs,
+        _varying(key_mask),
+    )
+    (num, den, _, _, _), _ = jax.lax.scan(step, init, None, length=n_shards)
+    return (num / den[..., None]).astype(qs.dtype)

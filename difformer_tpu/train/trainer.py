@@ -1,0 +1,231 @@
+"""Full-batch training engine (node classification / set classification).
+
+Replaces the reference's module-level script loop
+(``node classification/main.py:104-158``): seed-fixed runs, full-graph
+forward/backward per epoch, per-epoch eval with best-val tracking. Here the
+whole step (forward + loss + backward + Adam update) is one jitted function
+with donated state — the graph stays on device across the run, matching the
+reference's single host→device boundary (``main.py:78-79``).
+
+Loss selection parity (``main.py:119-129``): BCE-with-logits for the
+multilabel datasets {yelp-chi, deezer-europe, twitch-e, fb100,
+ogbn-proteins}, else NLL on log-softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from difformer_tpu.data.graph import GraphData
+from difformer_tpu.train.optim import torch_adam
+from difformer_tpu.utils.metrics import METRICS
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Any
+
+
+def nll_loss(logits, labels, mask):
+    """NLLLoss(log_softmax(out)) == masked mean cross-entropy
+    (``main.py:126-129``)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=-1)[:, 0]
+    m = mask.astype(logits.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def bce_with_logits_loss(logits, labels, mask):
+    """BCEWithLogitsLoss, masked mean over nodes and tasks
+    (``main.py:119-125``; labels one-hot when single-column)."""
+    labels = labels.astype(logits.dtype)
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    per = per.mean(axis=-1)
+    m = mask.astype(logits.dtype)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def mse_loss(preds, targets, mask):
+    per = (preds.reshape(targets.shape) - targets) ** 2
+    m = mask.astype(per.dtype)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+LOSSES = {"nll": nll_loss, "bce": bce_with_logits_loss, "mse": mse_loss}
+
+
+def idx_to_mask(idx, n):
+    mask = np.zeros(n, dtype=bool)
+    mask[np.asarray(idx)] = True
+    return mask
+
+
+class FullBatchTrainer:
+    """Train a node-level model on one (full) graph.
+
+    model.apply convention: ``apply(variables, x, senders, receivers,
+    edge_weight, train=..., rngs={'dropout': ...}, **kw)``.
+    """
+
+    def __init__(
+        self,
+        model,
+        graph: GraphData,
+        labels,
+        *,
+        lr: float = 1e-2,
+        weight_decay: float = 5e-4,
+        loss: str = "nll",
+        metric: str = "acc",
+        seed: int = 123,
+        onehot_bce_labels: bool = False,
+        model_kwargs: Optional[dict] = None,
+    ):
+        self.model = model
+        self.graph = graph
+        self.metric_fn: Callable = METRICS[metric]
+        self.loss_name = loss
+        self.loss_fn = LOSSES[loss]
+        self.tx = torch_adam(lr, weight_decay)
+        self.seed = seed
+        self.model_kwargs = dict(model_kwargs or {})
+        self.model_kwargs.setdefault(
+            "indices_are_sorted", graph.edges_sorted
+        )
+
+        labels = np.asarray(labels)
+        if loss == "bce":
+            if labels.ndim == 1 or labels.shape[-1] == 1 or onehot_bce_labels:
+                # one-hot path (reference eval.py:20-22)
+                flat = labels.reshape(-1).astype(np.int64)
+                labels2 = np.zeros((flat.shape[0], int(flat.max()) + 1), np.float32)
+                labels2[np.arange(flat.shape[0]), np.clip(flat, 0, None)] = 1.0
+                labels2[flat < 0] = 0.0
+                self.labels_train = jnp.asarray(labels2)
+            else:
+                self.labels_train = jnp.asarray(labels.astype(np.float32))
+        else:
+            self.labels_train = jnp.asarray(
+                labels.reshape(labels.shape[0], -1)[:, 0].astype(np.int32)
+                if labels.ndim > 1 else labels.astype(np.int32)
+            )
+        self.labels_eval = labels  # numpy, original layout, for metrics
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._forward_eval = jax.jit(self._forward_eval_impl)
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, run: int = 0) -> TrainState:
+        g = self.graph
+        rng = jax.random.PRNGKey(self.seed + run)
+        variables = self.model.init(
+            {"params": rng},
+            g.node_feat,
+            g.senders,
+            g.receivers,
+            g.edge_weight,
+            train=False,
+            **self.model_kwargs,
+        )
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- steps ---------------------------------------------------------------
+    def _loss(self, params, rng, train_mask):
+        g = self.graph
+        out = self.model.apply(
+            {"params": params},
+            g.node_feat,
+            g.senders,
+            g.receivers,
+            g.edge_weight,
+            train=True,
+            rngs={"dropout": rng},
+            **self.model_kwargs,
+        )
+        return self.loss_fn(out, self.labels_train, train_mask)
+
+    def _train_step_impl(self, state: TrainState, rng, train_mask):
+        loss, grads = jax.value_and_grad(self._loss)(
+            state.params, rng, train_mask
+        )
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def _forward_eval_impl(self, params):
+        g = self.graph
+        return self.model.apply(
+            {"params": params},
+            g.node_feat,
+            g.senders,
+            g.receivers,
+            g.edge_weight,
+            train=False,
+            **self.model_kwargs,
+        )
+
+    # -- public API ----------------------------------------------------------
+    def train_step(self, state, rng, train_mask):
+        return self._train_step(state, rng, train_mask)
+
+    def evaluate(self, state, split_idx):
+        out = np.asarray(self._forward_eval(state.params))
+        res = {}
+        for name, idx in split_idx.items():
+            idx = np.asarray(idx)
+            res[name] = self.metric_fn(self.labels_eval[idx], out[idx])
+        return res, out
+
+    def fit(
+        self,
+        split_idx,
+        *,
+        epochs: int = 100,
+        runs: int = 1,
+        logger=None,
+        eval_step: int = 1,
+        verbose: bool = False,
+        display_step: int = 50,
+    ):
+        n = self.graph.num_nodes
+        train_mask = jnp.asarray(idx_to_mask(split_idx["train"], n))
+        summaries = []
+        for run in range(runs):
+            state = self.init_state(run)
+            rng = jax.random.PRNGKey(1000 + self.seed + run)
+            best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
+            for epoch in range(epochs):
+                rng, step_rng = jax.random.split(rng)
+                state, loss = self.train_step(state, step_rng, train_mask)
+                if epoch % eval_step == 0 or epoch == epochs - 1:
+                    res, _ = self.evaluate(state, split_idx)
+                    if logger is not None:
+                        logger.add_result(
+                            run, (res["train"], res["valid"], res["test"])
+                        )
+                    if res["valid"] > best["valid"]:
+                        best = {**res, "epoch": epoch}
+                    if verbose and epoch % display_step == 0:
+                        print(
+                            f"run {run} epoch {epoch}: loss {float(loss):.4f} "
+                            f"train {res['train']:.4f} valid {res['valid']:.4f} "
+                            f"test {res['test']:.4f}"
+                        )
+            summaries.append(best)
+        return summaries

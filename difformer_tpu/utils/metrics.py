@@ -1,0 +1,120 @@
+"""Evaluation metrics — numpy implementations (no sklearn dependency).
+
+Parity with ``node classification/data_utils.py:238-285``: per-column argmax
+accuracy, OGB-style per-task ROC-AUC, micro F1. Inputs are numpy/JAX arrays:
+``y_true`` [N] or [N, T] labels, ``y_pred`` [N, C] raw scores (argmax'd here
+for acc/f1, used as scores for AUC) — same calling convention as the
+reference eval funcs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_np(x):
+    return np.asarray(x)
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def eval_acc(y_true, y_pred):
+    """Per-column accuracy, averaged over label columns
+    (``data_utils.py:249-259``). NaN labels are skipped per-column."""
+    y_true = _to_np(y_true)
+    y_pred = _to_np(y_pred).argmax(axis=-1)
+    if y_true.ndim == 1:
+        y_true = y_true[:, None]
+    acc_list = []
+    for i in range(y_true.shape[1]):
+        is_labeled = y_true[:, i] == y_true[:, i]
+        correct = y_true[is_labeled, i] == y_pred[is_labeled]
+        acc_list.append(float(np.sum(correct)) / max(len(correct), 1))
+    return sum(acc_list) / len(acc_list)
+
+
+def eval_f1(y_true, y_pred, average="micro"):
+    """Micro-averaged F1 (``data_utils.py:238-247``). For micro averaging on
+    single-label multi-class, F1 == accuracy."""
+    y_true = _to_np(y_true).reshape(-1)
+    y_pred = _to_np(y_pred).argmax(axis=-1).reshape(-1)
+    classes = np.unique(np.concatenate([y_true, y_pred]))
+    tp = np.zeros(len(classes))
+    fp = np.zeros(len(classes))
+    fn = np.zeros(len(classes))
+    for j, c in enumerate(classes):
+        tp[j] = np.sum((y_pred == c) & (y_true == c))
+        fp[j] = np.sum((y_pred == c) & (y_true != c))
+        fn[j] = np.sum((y_pred != c) & (y_true == c))
+    if average == "micro":
+        denom = 2 * tp.sum() + fp.sum() + fn.sum()
+        return float(2 * tp.sum() / denom) if denom else 0.0
+    prec = tp / np.maximum(tp + fp, 1)
+    rec = tp / np.maximum(tp + fn, 1)
+    f1 = 2 * prec * rec / np.maximum(prec + rec, 1e-12)
+    return float(f1.mean())
+
+
+def roc_auc_score(y_true, y_score):
+    """Binary AUC via the rank statistic (ties handled by midranks)."""
+    y_true = _to_np(y_true).astype(np.float64).reshape(-1)
+    y_score = _to_np(y_score).astype(np.float64).reshape(-1)
+    n_pos = float(np.sum(y_true == 1))
+    n_neg = float(np.sum(y_true == 0))
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("AUC undefined without both classes")
+    order = np.argsort(y_score, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_scores = y_score[order]
+    # midranks for ties
+    i = 0
+    r = np.arange(1, len(y_score) + 1, dtype=np.float64)
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j + 1]] = r[i:j + 1].mean()
+        i = j + 1
+    pos_rank_sum = ranks[y_true == 1].sum()
+    return float((pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def eval_rocauc(y_true, y_pred):
+    """OGB-style multi-task ROC-AUC (``data_utils.py:262-285``): for
+    single-column labels, uses softmax prob of class 1; else per-column
+    scores; averages defined columns."""
+    y_true = _to_np(y_true)
+    y_pred = _to_np(y_pred)
+    if y_true.ndim == 1:
+        y_true = y_true[:, None]
+    if y_true.shape[1] == 1:
+        y_score = _softmax(y_pred, axis=-1)[:, 1][:, None]
+    else:
+        y_score = y_pred
+    aucs = []
+    for i in range(y_true.shape[1]):
+        col = y_true[:, i]
+        if np.sum(col == 1) > 0 and np.sum(col == 0) > 0:
+            is_labeled = col == col
+            aucs.append(roc_auc_score(col[is_labeled], y_score[is_labeled, i]))
+    if not aucs:
+        raise RuntimeError("No positively labeled data available.")
+    return sum(aucs) / len(aucs)
+
+
+def eval_mse(y_true, y_pred):
+    y_true = _to_np(y_true).reshape(-1)
+    y_pred = _to_np(y_pred).reshape(-1)
+    return float(np.mean((y_true - y_pred) ** 2))
+
+
+METRICS = {
+    "acc": eval_acc,
+    "f1": eval_f1,
+    "rocauc": eval_rocauc,
+    "mse": eval_mse,
+}

@@ -1,0 +1,178 @@
+"""Model-level tests: shapes, jit, grads, config flags."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difformer_tpu.data.batching import pad_graph_batch
+from difformer_tpu.data.synthetic import random_graph, random_small_graphs
+from difformer_tpu.nn import DIFFormer, DIFFormerV2, GraphLevelModel
+
+
+def _graph(rng_seed=0, n=50, e=200, f=16, c=3):
+    x, ei, y = random_graph(n, e, f, c, seed=rng_seed)
+    return (
+        jnp.asarray(x),
+        jnp.asarray(ei[0], jnp.int32),
+        jnp.asarray(ei[1], jnp.int32),
+        y,
+    )
+
+
+@pytest.mark.parametrize("kernel", ["simple", "sigmoid"])
+@pytest.mark.parametrize("use_graph", [True, False])
+def test_difformer_forward_shapes(kernel, use_graph):
+    x, s, r, _ = _graph()
+    model = DIFFormer(
+        hidden_channels=32, out_channels=3, num_layers=2, num_heads=2,
+        kernel=kernel, use_graph=use_graph,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, s, r, train=False)
+    out = model.apply(variables, x, s, r, train=False)
+    assert out.shape == (x.shape[0], 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(use_weight=False, num_heads=1),
+        dict(graph_weight=0.8),
+        dict(use_source=True),
+        dict(use_residual=False),
+        dict(use_bn=False),
+    ],
+)
+def test_difformer_flag_matrix(flags):
+    x, s, r, _ = _graph()
+    model = DIFFormer(hidden_channels=16, out_channels=3, **flags)
+    variables = model.init(jax.random.PRNGKey(0), x, s, r, train=False)
+    out = model.apply(variables, x, s, r, train=False)
+    assert out.shape == (x.shape[0], 3)
+
+
+def test_difformer_jit_and_grad():
+    x, s, r, y = _graph()
+    model = DIFFormer(hidden_channels=16, out_channels=3)
+    variables = model.init(jax.random.PRNGKey(0), x, s, r, train=False)
+    labels = jnp.asarray(y)
+
+    @jax.jit
+    def loss_fn(params, rng):
+        out = model.apply(
+            {"params": params}, x, s, r, train=True, rngs={"dropout": rng}
+        )
+        logp = jax.nn.log_softmax(out)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    g = jax.grad(loss_fn)(variables["params"], jax.random.PRNGKey(1))
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    assert any(float(jnp.abs(t).sum()) > 0 for t in flat)
+
+
+def test_difformer_dropout_train_vs_eval():
+    x, s, r, _ = _graph()
+    model = DIFFormer(hidden_channels=16, out_channels=3, dropout=0.5)
+    variables = model.init(jax.random.PRNGKey(0), x, s, r, train=False)
+    out1 = model.apply(variables, x, s, r, train=False)
+    out2 = model.apply(variables, x, s, r, train=False)
+    np.testing.assert_allclose(out1, out2)  # eval is deterministic
+    t1 = model.apply(
+        variables, x, s, r, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    t2 = model.apply(
+        variables, x, s, r, train=True, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert np.abs(np.asarray(t1 - t2)).max() > 0
+
+
+def test_difformer_output_attn():
+    x, s, r, _ = _graph(n=20, e=60)
+    model = DIFFormer(hidden_channels=8, out_channels=3, num_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), x, s, r, train=False)
+    out, attns = model.apply(variables, x, s, r, train=False, output_attn=True)
+    assert attns.shape == (2, 20, 20, 1)
+
+
+@pytest.mark.parametrize("kernel", ["simple", "sigmoid"])
+def test_difformer_v2_graph_level(kernel):
+    graphs = random_small_graphs(6, seed=0)
+    batch = pad_graph_batch(
+        [g[0] for g in graphs],
+        [g[1] for g in graphs],
+        [g[2] for g in graphs],
+    )
+    encoder = DIFFormerV2(
+        hidden_channels=16, out_channels=16, num_layers=2, kernel=kernel
+    )
+    model = GraphLevelModel(encoder=encoder, out_channels=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch.node_feat),
+        jnp.asarray(batch.node_mask),
+        jnp.asarray(batch.n_nodes),
+        jnp.asarray(batch.senders),
+        jnp.asarray(batch.receivers),
+        None,
+        jnp.asarray(batch.edge_mask),
+        train=False,
+    )
+    out = model.apply(
+        variables,
+        jnp.asarray(batch.node_feat),
+        jnp.asarray(batch.node_mask),
+        jnp.asarray(batch.n_nodes),
+        jnp.asarray(batch.senders),
+        jnp.asarray(batch.receivers),
+        None,
+        jnp.asarray(batch.edge_mask),
+        train=False,
+    )
+    assert out.shape == (6, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_v2_padding_invariance():
+    """Adding padding graphs/slots must not change real-graph outputs."""
+    graphs = random_small_graphs(4, seed=1)
+    b1 = pad_graph_batch(
+        [g[0] for g in graphs], [g[1] for g in graphs], [g[2] for g in graphs]
+    )
+    b2 = pad_graph_batch(
+        [g[0] for g in graphs], [g[1] for g in graphs], [g[2] for g in graphs],
+        max_nodes=b1.max_nodes + 5,
+        batch_size=6,
+        max_edges=b1.senders.shape[0] + 64,
+    )
+    encoder = DIFFormerV2(hidden_channels=8, out_channels=8, num_layers=1)
+    model = GraphLevelModel(encoder=encoder, out_channels=1)
+
+    def run(b):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b.node_feat), jnp.asarray(b.node_mask),
+            jnp.asarray(b.n_nodes), jnp.asarray(b.senders),
+            jnp.asarray(b.receivers), None, jnp.asarray(b.edge_mask),
+            train=False,
+        )
+        return variables, model.apply(
+            variables,
+            jnp.asarray(b.node_feat), jnp.asarray(b.node_mask),
+            jnp.asarray(b.n_nodes), jnp.asarray(b.senders),
+            jnp.asarray(b.receivers), None, jnp.asarray(b.edge_mask),
+            train=False,
+        )
+
+    v1, o1 = run(b1)
+    # same params on padded batch
+    o2 = model.apply(
+        v1,
+        jnp.asarray(b2.node_feat), jnp.asarray(b2.node_mask),
+        jnp.asarray(b2.n_nodes), jnp.asarray(b2.senders),
+        jnp.asarray(b2.receivers), None, jnp.asarray(b2.edge_mask),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2)[:4], rtol=2e-4,
+                               atol=2e-5)
