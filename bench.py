@@ -41,13 +41,16 @@ def main():
 
     # ogbn-proteins-like scale, sized to fit one chip's HBM with fwd+bwd.
     N = int(os.environ.get("BENCH_N", 131072))
-    E = int(os.environ.get("BENCH_E", 8 * 1024 * 1024))
+    E = int(os.environ.get("BENCH_E", 4 * 1024 * 1024))
     F = 64
     C = 112
     LAYERS = 3
-    STEPS = int(os.environ.get("BENCH_STEPS", 20))
+    STEPS = int(os.environ.get("BENCH_STEPS", 10))
 
+    print(f"# bench: N={N} E={E} backend={jax.default_backend()}",
+          file=sys.stderr, flush=True)
     x, s_sorted, r_sorted, s_unsorted, r_unsorted = build_graph(N, E, F)
+    print("# graph built", file=sys.stderr, flush=True)
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
@@ -81,23 +84,28 @@ def main():
         jnp.asarray(r_sorted[:128]), train=False,
     )
 
-    def timeit(step, params):
+    def timeit(step, params, tag):
         opt_state = tx.init(params)
+        t0 = time.perf_counter()
         params, opt_state, l = step(params, opt_state)  # compile
-        jax.block_until_ready(l)
+        # force a real device->host sync (tunnel block_until_ready can lie)
+        float(l)
+        print(f"# {tag}: compiled+first step {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         for _ in range(STEPS):
             params, opt_state, l = step(params, opt_state)
-        jax.block_until_ready(l)
+        float(l)
         return (time.perf_counter() - t0) / STEPS
 
-    t_fast = timeit(make_step(s_sorted, r_sorted, True), variables["params"])
+    t_fast = timeit(make_step(s_sorted, r_sorted, True), variables["params"], "sorted")
     edges_per_s = E * LAYERS / t_fast
 
     vs_baseline = 1.0
     if os.environ.get("BENCH_SKIP_BASELINE") != "1":
         t_naive = timeit(
-            make_step(s_unsorted, r_unsorted, False), variables["params"]
+            make_step(s_unsorted, r_unsorted, False), variables["params"],
+            "naive",
         )
         vs_baseline = t_naive / t_fast
 

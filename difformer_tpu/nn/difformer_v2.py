@@ -196,9 +196,10 @@ class GraphLevelModel(nn.Module):
                 jnp.sum(m, axis=1), 1.0
             )
         elif self.graph_pooling == "max":
-            neg = jnp.where(node_mask[..., None], h, -jnp.inf)
+            # large-negative (not -inf) fill keeps gradients NaN-free
+            neg = jnp.where(node_mask[..., None], h, jnp.float32(-1e30))
             pooled = jnp.max(neg, axis=1)
-            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+            pooled = jnp.where(pooled <= -1e29, 0.0, pooled)
         else:
             raise ValueError(self.graph_pooling)
         return TorchLinear(self.out_channels, name="lin")(pooled)

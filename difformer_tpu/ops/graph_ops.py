@@ -103,6 +103,33 @@ def add_remaining_self_loops_dense(adj):
     return adj + jnp.eye(n, dtype=adj.dtype)
 
 
+def gcn_norm(senders, receivers, num_nodes, edge_weight=None, *,
+             add_self_loops=True, fill_value=1.0):
+    """PyG ``gcn_norm`` parity (used by the baseline zoo: GCNConv / SGC /
+    label-prop / MixHop / GPRGNN — reference ``gnns.py:5-6`` imports).
+
+    Returns (senders, receivers, norm_weights) with optional self-loops
+    appended; ``norm = deg^-1/2[src] * w * deg^-1/2[dst]`` with weighted
+    degrees over receivers and deg-0 → 0 (PyG masks inf to 0).
+
+    Static-shape note: appending self-loops changes E, so call this at
+    preprocessing time (host) or on fixed shapes.
+    """
+    if edge_weight is None:
+        edge_weight = jnp.ones(senders.shape, jnp.float32)
+    if add_self_loops:
+        loop = jnp.arange(num_nodes, dtype=senders.dtype)
+        senders = jnp.concatenate([senders, loop])
+        receivers = jnp.concatenate([receivers, loop])
+        edge_weight = jnp.concatenate(
+            [edge_weight, jnp.full((num_nodes,), fill_value, jnp.float32)]
+        )
+    deg = segment_sum(edge_weight, receivers, num_nodes)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+    norm = inv_sqrt[senders] * edge_weight * inv_sqrt[receivers]
+    return senders, receivers, norm
+
+
 def spmm(values, senders, receivers, x, num_nodes=None, *, indices_are_sorted=False):
     """Generic sparse @ dense: ``out[r] += values[e] * x[s]`` (COO).
 

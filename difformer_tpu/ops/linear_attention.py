@@ -137,7 +137,10 @@ def simple_attention_padded(q_pad, k_pad, v_pad, node_mask, n_nodes):
     numerator = numerator + v_sum[:, None, :, :]
     denominator = jnp.einsum("bmhk,bhk->bmh", q_pad, k_sum)
     denominator = denominator + n_nodes.astype(q_pad.dtype)[:, None, None]
+    # Padded slots/graphs would be 0/0 → NaN. The denominator must be made
+    # safe BEFORE the divide (not just masked after): jnp.where keeps the
+    # NaN branch in the gradient otherwise.
+    mask3 = node_mask[..., None]
+    denominator = jnp.where(mask3, denominator, 1.0)
     out = numerator / denominator[..., None]
-    # Padded slots/graphs would be 0/0 → NaN; zero them so padding can never
-    # poison pooling or LayerNorm downstream. Real slots are untouched.
-    return jnp.where(node_mask[..., None, None], out, 0.0)
+    return jnp.where(mask3[..., None], out, 0.0)

@@ -33,6 +33,7 @@ class TrainState:
     params: Any
     opt_state: Any
     step: Any
+    extra: Any = None   # non-param variable collections (e.g. batch_stats)
 
 
 def nll_loss(logits, labels, mask):
@@ -137,41 +138,45 @@ class FullBatchTrainer:
             **self.model_kwargs,
         )
         params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            extra=extra,
         )
 
     # -- steps ---------------------------------------------------------------
-    def _loss(self, params, rng, train_mask):
+    def _loss(self, params, extra, rng, train_mask):
         g = self.graph
-        out = self.model.apply(
-            {"params": params},
+        out, new_vars = self.model.apply(
+            {"params": params, **extra},
             g.node_feat,
             g.senders,
             g.receivers,
             g.edge_weight,
             train=True,
             rngs={"dropout": rng},
+            mutable=list(extra.keys()),
             **self.model_kwargs,
         )
-        return self.loss_fn(out, self.labels_train, train_mask)
+        return self.loss_fn(out, self.labels_train, train_mask), new_vars
 
     def _train_step_impl(self, state: TrainState, rng, train_mask):
-        loss, grads = jax.value_and_grad(self._loss)(
-            state.params, rng, train_mask
-        )
+        (loss, new_extra), grads = jax.value_and_grad(
+            self._loss, has_aux=True
+        )(state.params, state.extra, rng, train_mask)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        extra = {**state.extra, **dict(new_extra)}
+        return TrainState(params, opt_state, state.step + 1, extra), loss
 
-    def _forward_eval_impl(self, params):
+    def _forward_eval_impl(self, params, extra):
         g = self.graph
         return self.model.apply(
-            {"params": params},
+            {"params": params, **extra},
             g.node_feat,
             g.senders,
             g.receivers,
@@ -185,7 +190,7 @@ class FullBatchTrainer:
         return self._train_step(state, rng, train_mask)
 
     def evaluate(self, state, split_idx):
-        out = np.asarray(self._forward_eval(state.params))
+        out = np.asarray(self._forward_eval(state.params, state.extra))
         res = {}
         for name, idx in split_idx.items():
             idx = np.asarray(idx)
