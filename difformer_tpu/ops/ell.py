@@ -57,30 +57,42 @@ def _gcn_values(senders, receivers, num_nodes, edge_weight):
     return np.nan_to_num(val, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
 
 
-def _build_direction(point_to, owner, values, num_nodes):
-    """ELL for: out[owner] = Σ values * x[point_to], grouped by owner."""
-    order = np.argsort(owner, kind="stable")
-    point_s = point_to[order]
-    val_s = values[order]
-    if point_s.shape[0] == 0:  # edgeless graph
-        point_s = np.zeros(1, point_to.dtype)
-        val_s = np.zeros(1, np.float32)
-    counts = np.zeros(num_nodes, np.int64)
-    np.add.at(counts, owner, 1)
-    indptr = np.zeros(num_nodes + 1, np.int64)
-    np.cumsum(counts, out=indptr[1:])
+def _build_direction(point_to, owner, values, num_nodes, *, bucket_factor=4,
+                     min_bucket=8):
+    """ELL for: out[owner] = Σ values * x[point_to], grouped by owner.
 
-    # power-of-two buckets (min 4 to bound tiny-gather overhead)
+    ``bucket_factor`` controls the degree-bucket geometric spacing: fewer
+    buckets (factor 4 default → ≤4× padding waste per bucket) mean fewer
+    unrolled gather kernels and much faster XLA compiles than factor-2.
+    """
+    from difformer_tpu import native
+
+    if native.available() and point_to.shape[0] > 0:
+        order, indptr = native.sort_edges_by_receiver(
+            owner.astype(np.int32), num_nodes
+        )
+    else:
+        order = np.argsort(owner, kind="stable")
+        counts0 = np.zeros(num_nodes + 1, np.int64)
+        np.add.at(counts0, owner + 1, 1)
+        indptr = np.cumsum(counts0)
+    point_s = point_to[order].astype(np.int32)
+    val_s = values[order].astype(np.float32)
+    if point_s.shape[0] == 0:  # edgeless graph
+        point_s = np.zeros(1, np.int32)
+        val_s = np.zeros(1, np.float32)
+    counts = np.diff(indptr)
+
     ks = []
-    k = 4
-    max_deg = int(counts.max()) if num_nodes else 1
+    k = min_bucket
+    max_deg = max(int(counts.max()) if num_nodes else 1, 1)
     while k < max_deg:
-        k *= 2
+        k *= bucket_factor
     cap = k
-    k = 4
+    k = min_bucket
     while k <= cap:
         ks.append(k)
-        k *= 2
+        k *= bucket_factor
 
     bucket_of = np.searchsorted(np.asarray(ks), np.maximum(counts, 1))
     nbr_idx, weights, node_lists = [], [], []
@@ -92,13 +104,16 @@ def _build_direction(point_to, owner, values, num_nodes):
             nbr_idx.append(jnp.zeros((0, kb), jnp.int32))
             weights.append(jnp.zeros((0, kb), jnp.float32))
             continue
-        starts = indptr[nodes]
-        lens = counts[nodes]
-        cols = np.arange(kb)[None, :]
-        mask = cols < lens[:, None]
-        pos = np.minimum(starts[:, None] + cols, e_total - 1)
-        idx = np.where(mask, point_s[pos], 0).astype(np.int32)
-        w = np.where(mask, val_s[pos], 0.0).astype(np.float32)
+        if native.available():
+            idx, w = native.ell_fill(nodes, kb, indptr, point_s, val_s)
+        else:
+            starts = indptr[nodes]
+            lens = counts[nodes]
+            cols = np.arange(kb)[None, :]
+            mask = cols < lens[:, None]
+            pos = np.minimum(starts[:, None] + cols, e_total - 1)
+            idx = np.where(mask, point_s[pos], 0).astype(np.int32)
+            w = np.where(mask, val_s[pos], 0.0).astype(np.float32)
         nbr_idx.append(jnp.asarray(idx))
         weights.append(jnp.asarray(w))
 
