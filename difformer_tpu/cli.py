@@ -148,11 +148,31 @@ def run_node_task(cfg: Config):
             loss=loss, metric=cfg.metric, seed=cfg.seed,
             model_kwargs={"ell": ell} if ell is not None else None,
         )
+        if cfg.eval_only:
+            # checkpoint-eval harness (reference test_large_dataset.py:85-98)
+            from difformer_tpu.train.checkpoint import restore_checkpoint
+
+            template = trainer.init_state(0).params
+            params = restore_checkpoint(
+                cfg.ckpt_path or f"{cfg.model_dir}/{cfg.dataset}-"
+                f"{cfg.method}", template,
+            )
+            res, _ = trainer.evaluate_params(params, split_for(0))
+            print(f"Eval-only: {res}")
+            return [res]
         res = []
         for run in range(cfg.runs):
             r = trainer.fit(split_for(run), epochs=cfg.epochs, runs=1,
                             logger=logger, eval_step=cfg.eval_step,
-                            verbose=True, display_step=cfg.display_step)
+                            verbose=True, display_step=cfg.display_step,
+                            save_best=cfg.save_model)
+            if cfg.save_model and r[-1].get("params") is not None:
+                from difformer_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{cfg.model_dir}/{cfg.dataset}-{cfg.method}",
+                    r[-1].pop("params"),
+                )
             res.extend(r)
 
     tests = np.asarray([r["test"] for r in res])

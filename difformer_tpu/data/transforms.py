@@ -126,6 +126,29 @@ def edge_bucket(e, buckets=None, *, growth=1.3, minimum=128):
     return b
 
 
+def convert_to_adj(edge_index, n_node):
+    """Dense adjacency from edge_index (``data_utils.py:287-292``)."""
+    adj = np.zeros((n_node, n_node), np.float32)
+    ei = np.asarray(edge_index)
+    adj[ei[0], ei[1]] = 1.0
+    return adj
+
+
+def adj_mul(adj_i, adj, n):
+    """Sparse boolean product: edge_index of A_i @ A (``data_utils.py:
+    294-299``) — used for multi-hop adjacency construction."""
+    import scipy.sparse as sp
+
+    ai = sp.coo_matrix(
+        (np.ones(adj_i.shape[1]), (adj_i[0], adj_i[1])), shape=(n, n)
+    ).tocsr()
+    a = sp.coo_matrix(
+        (np.ones(adj.shape[1]), (adj[0], adj[1])), shape=(n, n)
+    ).tocsr()
+    prod = (ai @ a).tocoo()
+    return np.stack([prod.row, prod.col]).astype(np.int64)
+
+
 def knn_graph(features, k, *, include_self=True, loop=False, metric="euclidean"):
     """kNN graph from feature/coordinate rows (numpy, blocked O(N·B) memory).
 

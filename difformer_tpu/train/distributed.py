@@ -1,0 +1,131 @@
+"""Distributed full-graph training engine (node-sharded).
+
+The multi-chip counterpart of ``FullBatchTrainer``: the graph is
+edge-partitioned over a 1-D mesh (``parallel.partition``), the model runs
+under ``shard_map`` with the collective-augmented ops, and the train step is
+one jitted program (BASELINE.md north star: multi-host edge-partitioned
+training; the reference has no distributed path at all, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difformer_tpu.parallel.api import make_sharded_train_step, sharded_apply
+from difformer_tpu.parallel.mesh import GRAPH_AXIS, make_mesh
+from difformer_tpu.parallel.partition import ShardedGraph, partition_graph
+from difformer_tpu.train.optim import torch_adam
+from difformer_tpu.utils.metrics import METRICS
+
+
+def _nll_sum(logits, labels, mask):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(
+        logp, labels.reshape(-1, 1).astype(jnp.int32), axis=-1
+    )[:, 0]
+    m = mask.astype(logits.dtype)
+    return -jnp.sum(ll * m), jnp.sum(m)
+
+
+def _bce_sum(logits, labels, mask):
+    import optax
+
+    per = optax.sigmoid_binary_cross_entropy(
+        logits, labels.astype(logits.dtype)
+    ).mean(axis=-1)
+    m = mask.astype(logits.dtype)
+    return jnp.sum(per * m), jnp.sum(m)
+
+
+class DistributedTrainer:
+    """Node-sharded full-graph trainer over all local devices (or a given
+    mesh). ``model`` must be constructed with ``axis_name='graph'`` and an
+    axis-free twin is used for initialization."""
+
+    def __init__(self, model, init_model, node_feat, edge_index, labels, *,
+                 train_mask, mesh=None, lr=1e-2, weight_decay=5e-4,
+                 loss="nll", metric="acc", seed=123):
+        self.mesh = mesh or make_mesh()
+        n_shards = int(np.prod(self.mesh.devices.shape))
+        labels_np = np.asarray(labels)
+        self.labels_eval = labels_np
+        if loss == "bce" and (labels_np.ndim == 1 or labels_np.shape[-1] == 1):
+            flat = labels_np.reshape(-1).astype(np.int64)
+            oh = np.zeros((flat.shape[0], int(flat.max()) + 1), np.float32)
+            oh[np.arange(flat.shape[0]), np.clip(flat, 0, None)] = 1.0
+            labels_for_train = oh
+        elif loss == "bce":
+            labels_for_train = labels_np.astype(np.float32)
+        else:
+            labels_for_train = (
+                labels_np.reshape(labels_np.shape[0], -1)[:, 0]
+                if labels_np.ndim > 1 else labels_np
+            ).astype(np.int32)
+
+        self.sg = partition_graph(
+            np.asarray(node_feat, np.float32), np.asarray(edge_index),
+            n_shards, labels=labels_for_train, label_mask=train_mask,
+        )
+        self.model = model
+        self.init_model = init_model
+        self.metric_fn = METRICS[metric]
+        self.tx = torch_adam(lr, weight_decay)
+        self.seed = seed
+        loss_fn = _nll_sum if loss == "nll" else _bce_sum
+        self._step = make_sharded_train_step(model, self.mesh, self.tx,
+                                             loss_fn)
+        self._apply = sharded_apply(model, self.mesh)
+        self._x0 = np.asarray(node_feat, np.float32)
+        self._ei0 = np.asarray(edge_index)
+
+    def init_state(self, run=0):
+        variables = self.init_model.init(
+            jax.random.PRNGKey(self.seed + run),
+            jnp.asarray(self._x0),
+            jnp.asarray(self._ei0[0], jnp.int32),
+            jnp.asarray(self._ei0[1], jnp.int32),
+            train=False,
+        )
+        params = variables["params"]
+        return params, self.tx.init(params)
+
+    def evaluate(self, params, split_idx):
+        out = np.asarray(
+            jax.jit(lambda p, g: self._apply(p, g))(params, self.sg)
+        )
+        out = out.reshape(-1, out.shape[-1])[: self.labels_eval.shape[0]]
+        return {
+            name: self.metric_fn(self.labels_eval[np.asarray(idx)],
+                                 out[np.asarray(idx)])
+            for name, idx in split_idx.items()
+        }
+
+    def fit(self, split_idx, *, epochs=100, runs=1, eval_step=1,
+            verbose=False, display_step=50, logger=None):
+        summaries = []
+        for run in range(runs):
+            params, opt_state = self.init_state(run)
+            rng = jax.random.PRNGKey(1000 + self.seed + run)
+            best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
+            for epoch in range(epochs):
+                rng, sk = jax.random.split(rng)
+                params, opt_state, loss = self._step(
+                    params, opt_state, self.sg, sk
+                )
+                if epoch % eval_step == 0 or epoch == epochs - 1:
+                    res = self.evaluate(params, split_idx)
+                    if logger is not None:
+                        logger.add_result(
+                            run, (res["train"], res["valid"], res["test"])
+                        )
+                    if res["valid"] > best["valid"]:
+                        best = {**res, "epoch": epoch}
+                    if verbose and epoch % display_step == 0:
+                        print(f"run {run} epoch {epoch}: loss "
+                              f"{float(loss):.4f} {res}")
+            summaries.append(best)
+        return summaries

@@ -207,6 +207,7 @@ class FullBatchTrainer:
         eval_step: int = 1,
         verbose: bool = False,
         display_step: int = 50,
+        save_best: bool = False,
     ):
         n = self.graph.num_nodes
         train_mask = jnp.asarray(idx_to_mask(split_idx["train"], n))
@@ -215,6 +216,7 @@ class FullBatchTrainer:
             state = self.init_state(run)
             rng = jax.random.PRNGKey(1000 + self.seed + run)
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
+            best_params = None
             for epoch in range(epochs):
                 rng, step_rng = jax.random.split(rng)
                 state, loss = self.train_step(state, step_rng, train_mask)
@@ -226,11 +228,24 @@ class FullBatchTrainer:
                         )
                     if res["valid"] > best["valid"]:
                         best = {**res, "epoch": epoch}
+                        if save_best:
+                            best_params = jax.tree_util.tree_map(
+                                np.asarray, state.params
+                            )
                     if verbose and epoch % display_step == 0:
                         print(
                             f"run {run} epoch {epoch}: loss {float(loss):.4f} "
                             f"train {res['train']:.4f} valid {res['valid']:.4f} "
                             f"test {res['test']:.4f}"
                         )
+            if save_best:
+                best["params"] = best_params
             summaries.append(best)
         return summaries
+
+    def evaluate_params(self, params, split_idx, extra=None):
+        """Eval-only path for loaded checkpoints (reference
+        ``test_large_dataset.py:85-98`` capability)."""
+        state = TrainState(params=params, opt_state=None, step=0,
+                           extra=extra or {})
+        return self.evaluate(state, split_idx)

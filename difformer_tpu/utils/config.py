@@ -80,6 +80,8 @@ class Config:
     display_step: int = 50
     eval_step: int = 1
     save_model: bool = False
+    eval_only: bool = False         # ckpt-eval harness (test_large_dataset.py)
+    ckpt_path: str = ""
     model_dir: str = "models"
     save_result: bool = False
     result_dir: str = "results"
