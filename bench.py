@@ -54,6 +54,8 @@ def main():
     C = 112
     LAYERS = 3
     STEPS = int(os.environ.get("BENCH_STEPS", 8))
+    IMPL = os.environ.get("BENCH_IMPL", "coo")      # coo | ell
+    DTYPE = os.environ.get("BENCH_DTYPE", "")       # '' | bfloat16
 
     print(f"# bench: N={N} E={E} steps={STEPS} backend={jax.default_backend()}",
           file=sys.stderr, flush=True)
@@ -61,27 +63,43 @@ def main():
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
-                      num_heads=1, kernel="simple", dropout=0.0)
+                      num_heads=1, kernel="simple", dropout=0.0,
+                      compute_dtype=DTYPE or None)
     xs = jnp.asarray(x)
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
 
-    def make_multi_step(senders, receivers, sorted_):
+    ell = None
+    if IMPL == "ell":
+        import time as _t
+
+        t0 = _t.perf_counter()
+        from difformer_tpu.ops.ell import build_ell_gcn
+
+        ell = build_ell_gcn(s_sorted, r_sorted, N)
+        print(f"# ELL built in {_t.perf_counter() - t0:.1f}s "
+              f"buckets={ell[0].bucket_sizes}", file=sys.stderr, flush=True)
+
+    def make_multi_step(senders, receivers, sorted_, use_ell=True):
         s = jnp.asarray(senders)
         r = jnp.asarray(receivers)
 
-        def loss(params):
+        # all large arrays are jit ARGUMENTS (closed-over device arrays
+        # would be embedded as constants and wreck compile time)
+        def loss(params, xs, s, r, labels, ell_arg):
             out = model.apply(
                 {"params": params}, xs, s, r, train=False,
-                indices_are_sorted=sorted_,
+                indices_are_sorted=sorted_, ell=ell_arg,
             )
             return optax.sigmoid_binary_cross_entropy(out, labels).mean()
 
         @jax.jit
-        def multi(params, opt_state):
+        def multi(params, opt_state, xs, s, r, labels, ell_arg):
             def body(carry, _):
                 params, opt_state = carry
-                l, g = jax.value_and_grad(loss)(params)
+                l, g = jax.value_and_grad(loss)(
+                    params, xs, s, r, labels, ell_arg
+                )
                 updates, opt_state = tx.update(g, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), l
@@ -91,7 +109,8 @@ def main():
             )
             return params, opt_state, ls[-1]
 
-        return multi
+        return lambda p, o: multi(p, o, xs, s, r, labels,
+                                  ell if use_ell else None)
 
     variables = model.init(
         jax.random.PRNGKey(0), xs, jnp.asarray(s_sorted[:128]),
@@ -113,11 +132,12 @@ def main():
         print(f"# {tag}: {dt * 1e3:.1f} ms/step", file=sys.stderr, flush=True)
         return dt
 
-    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), "sorted")
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), IMPL)
     edges_per_s = E * LAYERS / t_fast
 
     if os.environ.get("BENCH_RUN_NAIVE") == "1":
-        t_naive = timeit(make_multi_step(s_uns, r_uns, False), "naive")
+        t_naive = timeit(
+            make_multi_step(s_uns, r_uns, False, use_ell=False), "naive")
         vs_baseline = t_naive / t_fast
     elif NAIVE_EDGES_PER_S:
         vs_baseline = edges_per_s / NAIVE_EDGES_PER_S
@@ -131,6 +151,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "n_nodes": N, "n_edges": E, "layers": LAYERS, "hidden": 64,
+            "impl": IMPL, "dtype": DTYPE or "float32",
             "step_ms": round(t_fast * 1e3, 2),
             "backend": jax.default_backend(),
         },

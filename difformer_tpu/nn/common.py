@@ -43,7 +43,12 @@ class TorchLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.epsilon, use_bias=True, use_scale=True)(x)
+        # stats in f32 even for bf16 activations; output in input dtype
+        y = nn.LayerNorm(
+            epsilon=self.epsilon, use_bias=True, use_scale=True,
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class TorchBatchNorm(nn.Module):

@@ -160,6 +160,7 @@ class DIFFormer(nn.Module):
     graph_weight: float = -1.0
     use_source: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None   # e.g. 'bfloat16'; params stay f32
 
     def _conv(self, i):
         return DIFFormerConv(
@@ -191,6 +192,12 @@ class DIFFormer(nn.Module):
         ell=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        if self.compute_dtype is not None:
+            # bf16 activations keep the MXU fed; reductions that need f32
+            # (Frobenius norms, attention denominators, LayerNorm stats)
+            # already upcast internally.
+            x = x.astype(self.compute_dtype)
 
         # input MLP block (difformer.py:188-192)
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)
@@ -225,6 +232,8 @@ class DIFFormer(nn.Module):
             prev = x
 
         x_out = TorchLinear(self.out_channels, name="fc_out")(x)
+        if self.compute_dtype is not None:
+            x_out = x_out.astype(jnp.float32)   # logits/loss in f32
         if output_attn:
             return x_out, jnp.stack(attentions, axis=0)
         return x_out

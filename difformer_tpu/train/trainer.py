@@ -99,8 +99,8 @@ class FullBatchTrainer:
         self.tx = torch_adam(lr, weight_decay)
         self.seed = seed
         self.model_kwargs = dict(model_kwargs or {})
-        self.model_kwargs.setdefault(
-            "indices_are_sorted", graph.edges_sorted
+        self._sorted = bool(
+            self.model_kwargs.pop("indices_are_sorted", graph.edges_sorted)
         )
 
         labels = np.asarray(labels)
@@ -135,6 +135,7 @@ class FullBatchTrainer:
             g.receivers,
             g.edge_weight,
             train=False,
+            indices_are_sorted=self._sorted,
             **self.model_kwargs,
         )
         params = variables["params"]
@@ -147,8 +148,10 @@ class FullBatchTrainer:
         )
 
     # -- steps ---------------------------------------------------------------
-    def _loss(self, params, extra, rng, train_mask):
-        g = self.graph
+    # NOTE: graph arrays, labels and any ELL tables are threaded through jit
+    # as ARGUMENTS, never closed over — closed-over device arrays become
+    # giant constants in the jaxpr and blow up XLA compile time.
+    def _loss(self, params, extra, rng, train_mask, g, labels, kwargs):
         out, new_vars = self.model.apply(
             {"params": params, **extra},
             g.node_feat,
@@ -158,14 +161,16 @@ class FullBatchTrainer:
             train=True,
             rngs={"dropout": rng},
             mutable=list(extra.keys()),
-            **self.model_kwargs,
+            indices_are_sorted=self._sorted,
+            **kwargs,
         )
-        return self.loss_fn(out, self.labels_train, train_mask), new_vars
+        return self.loss_fn(out, labels, train_mask), new_vars
 
-    def _train_step_impl(self, state: TrainState, rng, train_mask):
+    def _train_step_impl(self, state: TrainState, rng, train_mask, g, labels,
+                         kwargs):
         (loss, new_extra), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state.params, state.extra, rng, train_mask)
+        )(state.params, state.extra, rng, train_mask, g, labels, kwargs)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
@@ -173,8 +178,7 @@ class FullBatchTrainer:
         extra = {**state.extra, **dict(new_extra)}
         return TrainState(params, opt_state, state.step + 1, extra), loss
 
-    def _forward_eval_impl(self, params, extra):
-        g = self.graph
+    def _forward_eval_impl(self, params, extra, g, kwargs):
         return self.model.apply(
             {"params": params, **extra},
             g.node_feat,
@@ -182,15 +186,20 @@ class FullBatchTrainer:
             g.receivers,
             g.edge_weight,
             train=False,
-            **self.model_kwargs,
+            indices_are_sorted=self._sorted,
+            **kwargs,
         )
 
     # -- public API ----------------------------------------------------------
     def train_step(self, state, rng, train_mask):
-        return self._train_step(state, rng, train_mask)
+        return self._train_step(state, rng, train_mask, self.graph,
+                                self.labels_train, self.model_kwargs)
 
     def evaluate(self, state, split_idx):
-        out = np.asarray(self._forward_eval(state.params, state.extra))
+        out = np.asarray(
+            self._forward_eval(state.params, state.extra, self.graph,
+                               self.model_kwargs)
+        )
         res = {}
         for name, idx in split_idx.items():
             idx = np.asarray(idx)
