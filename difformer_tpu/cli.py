@@ -13,6 +13,7 @@ Method factory parity: ``parse_method`` maps --method to a model ctor as in
 from __future__ import annotations
 
 import argparse
+import os
 import dataclasses
 import sys
 
@@ -218,7 +219,26 @@ def run_graph_task(cfg: Config):
     from difformer_tpu.nn import DIFFormerV2, GraphLevelModel
     from difformer_tpu.train.graph_level import GraphLevelTrainer
 
-    graphs = random_small_graphs(512, seed=cfg.seed)  # particle stand-in
+    split = None
+    if cfg.dataset in ("actstrack", "tau3mu", "synmol", "plbind"):
+        from difformer_tpu.data.particle import load_particle_dataset
+
+        try:
+            ds = load_particle_dataset(
+                cfg.dataset, os.path.join(cfg.data_dir, cfg.dataset),
+                config_path=os.path.join("configs", f"{cfg.dataset}.yml")
+                if os.path.exists(os.path.join("configs",
+                                               f"{cfg.dataset}.yml"))
+                else None,
+                seed=cfg.seed,
+            )
+            graphs = ds.graphs
+            split = ds.get_idx_split()
+        except (FileNotFoundError, ImportError) as e:
+            print(f"[warn] {e}; using synthetic stand-in graphs")
+            graphs = random_small_graphs(512, seed=cfg.seed)
+    else:
+        graphs = random_small_graphs(512, seed=cfg.seed)
     enc = DIFFormerV2(
         hidden_channels=cfg.hidden_channels, out_channels=cfg.hidden_channels,
         num_layers=cfg.num_layers, kernel=cfg.kernel, alpha=cfg.alpha,
@@ -231,7 +251,8 @@ def run_graph_task(cfg: Config):
     tr = GraphLevelTrainer(model, graphs, batch_size=min(cfg.batch_size, 64),
                            lr=cfg.lr, weight_decay=cfg.weight_decay,
                            metric=cfg.metric, seed=cfg.seed)
-    split = get_random_idx_split(len(graphs), 0.7, 0.15, rng=cfg.seed)
+    if split is None:
+        split = get_random_idx_split(len(graphs), 0.7, 0.15, rng=cfg.seed)
     res = tr.fit(split, epochs=cfg.epochs, runs=cfg.runs, verbose=True)
     tests = np.asarray([r["test"] for r in res])
     print(f"Final Test: {tests.mean():.4f} ± {tests.std():.4f}")
