@@ -61,6 +61,7 @@ class DIFFormerConv(nn.Module):
         indices_are_sorted=False,
         output_attn=False,
         ell=None,
+        halo=None,
     ):
         H, D = self.num_heads, self.out_channels
         query = TorchLinear(D * H, name="Wq")(query_input).reshape(-1, H, D)
@@ -110,6 +111,15 @@ class DIFFormerConv(nn.Module):
                 from difformer_tpu.ops.ell import gcn_conv_ell
 
                 graph_output = gcn_conv_ell(value, ell[0], ell[1])
+            elif self.axis_name is not None and halo is not None:
+                # boundary-only all_to_all exchange (parallel/sharded_ops)
+                from difformer_tpu.parallel.sharded_ops import gcn_conv_halo
+
+                send_idx, send_mask, edge_value = halo
+                graph_output = gcn_conv_halo(
+                    value, senders, receivers, edge_value, send_idx,
+                    send_mask, axis_name=self.axis_name,
+                )
             elif self.axis_name is not None:
                 from difformer_tpu.parallel.sharded_ops import gcn_conv_sharded
 
@@ -190,6 +200,7 @@ class DIFFormer(nn.Module):
         train=False,
         output_attn=False,
         ell=None,
+        halo=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -218,6 +229,7 @@ class DIFFormer(nn.Module):
                 indices_are_sorted=indices_are_sorted,
                 output_attn=output_attn,
                 ell=ell,
+                halo=halo,
             )
             if output_attn:
                 x, attn = out

@@ -48,12 +48,14 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
     ``axis_name=axis``. Returns logits stacked [S, N_loc, C]."""
 
     def body(params, x, node_mask, senders, receivers, edge_mask, edge_weight,
-             rng, train):
+             halo, rng, train):
         # shard_map slices the stacked [S, ...] arrays to [1, ...]; squeeze
         x, node_mask = x[0], node_mask[0]
         senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
         if edge_weight is not None:
             edge_weight = edge_weight[0]
+        if halo is not None:
+            halo = tuple(h[0] for h in halo)
         rngs = None
         if rng is not None:
             # fold in the shard index for decorrelated dropout
@@ -72,10 +74,12 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             edge_mask=edge_mask,
             train=train,
             rngs=rngs,
+            halo=halo,
         )
 
     def apply_fn(params, sg: ShardedGraph, rng=None, train=False):
         ew = sg.edge_weight
+        senders, halo = _senders_and_halo(sg)
         in_specs = (
             P(),            # params replicated
             P(axis),        # node_feat
@@ -84,6 +88,7 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             P(axis),        # receivers
             P(axis),        # edge_mask
             P() if ew is None else P(axis),
+            P() if halo is None else (P(axis),) * 3,
             P(),            # rng
         )
         f = jax.shard_map(
@@ -93,11 +98,18 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             out_specs=P(axis),
         )
         return f(
-            params, sg.node_feat, sg.node_mask, sg.senders, sg.receivers,
-            sg.edge_mask, ew, rng,
+            params, sg.node_feat, sg.node_mask, senders, sg.receivers,
+            sg.edge_mask, ew, halo, rng,
         )
 
     return apply_fn
+
+
+def _senders_and_halo(sg: ShardedGraph):
+    """Pick the boundary-exchange plan when the partition carries one."""
+    if sg.senders_table is not None:
+        return sg.senders_table, (sg.send_idx, sg.send_mask, sg.edge_value)
+    return sg.senders, None
 
 
 def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
@@ -109,12 +121,14 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
     """
 
     def body(params, opt_state, x, node_mask, senders, receivers, edge_mask,
-             edge_weight, labels, label_mask, rng):
+             edge_weight, halo, labels, label_mask, rng):
         x, node_mask = x[0], node_mask[0]
         senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
         labels, label_mask = labels[0], label_mask[0]
         if edge_weight is not None:
             edge_weight = edge_weight[0]
+        if halo is not None:
+            halo = tuple(h[0] for h in halo)
 
         def local_loss(p):
             rngs = {
@@ -123,7 +137,7 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             out = model.apply(
                 {"params": p}, x, senders, receivers, edge_weight,
                 node_mask=node_mask, edge_mask=edge_mask, train=True,
-                rngs=rngs,
+                rngs=rngs, halo=halo,
             )
             s, c = loss_fn(out, labels, label_mask)
             return jax.lax.psum(s, axis) / jnp.maximum(
@@ -139,10 +153,12 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
 
     def step(params, opt_state, sg: ShardedGraph, rng):
         ew = sg.edge_weight
+        senders, halo = _senders_and_halo(sg)
         in_specs = (
             P(), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis),
             P() if ew is None else P(axis),
+            P() if halo is None else (P(axis),) * 3,
             P(axis), P(axis), P(),
         )
         f = jax.shard_map(
@@ -150,8 +166,9 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             out_specs=(P(), P(), P()),
         )
         return f(
-            params, opt_state, sg.node_feat, sg.node_mask, sg.senders,
-            sg.receivers, sg.edge_mask, ew, sg.labels, sg.label_mask, rng,
+            params, opt_state, sg.node_feat, sg.node_mask, senders,
+            sg.receivers, sg.edge_mask, ew, halo, sg.labels, sg.label_mask,
+            rng,
         )
 
     return jax.jit(step, donate_argnums=(0, 1))

@@ -34,8 +34,18 @@ class ShardedGraph:
     edge_weight: Optional[Any] = None   # [S, E_loc]
     labels: Optional[Any] = None        # [S, N_loc, ...]
     label_mask: Optional[Any] = None    # bool [S, N_loc] — valid-label mask
+    # --- boundary-exchange (halo) extension: set by build_halo=True ---
+    # senders_table: [S, E_loc] indices into [own (N_loc) || halo (S·B)]
+    # send_idx:      [S, S, B] local rows shard s sends to each dest shard
+    # send_mask:     [S, S, B] False on padding slots
+    # edge_value:    [S, E_loc] host-precomputed normalized conv weights
+    senders_table: Optional[Any] = None
+    send_idx: Optional[Any] = None
+    send_mask: Optional[Any] = None
+    edge_value: Optional[Any] = None
     num_nodes_global: int = struct.field(pytree_node=False, default=0)
     nodes_per_shard: int = struct.field(pytree_node=False, default=0)
+    halo_width: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_shards(self):
@@ -51,8 +61,17 @@ def partition_graph(
     labels: Optional[np.ndarray] = None,
     label_mask: Optional[np.ndarray] = None,
     edge_pad_multiple: int = 128,
+    build_halo: bool = False,
 ) -> ShardedGraph:
-    """Contiguous node partition + receiver-owned edge partition."""
+    """Contiguous node partition + receiver-owned edge partition.
+
+    ``build_halo=True`` additionally precomputes the boundary-exchange plan:
+    per-pair send lists (who ships which owned rows to whom), a remapped
+    sender table into the ``[own || halo]`` feature table, and host-side
+    normalized conv weights — so the distributed conv's communication is
+    exactly the boundary features over an ``all_to_all`` instead of a full
+    ``all_gather`` (BASELINE.json north star: edge-partitioned training with
+    boundary exchange over ICI)."""
     n = int(node_feat.shape[0])
     n_loc = -(-n // n_shards)  # ceil
     n_pad = n_loc * n_shards
@@ -102,6 +121,13 @@ def partition_graph(
         lm[:n] = True if label_mask is None else np.asarray(label_mask)
         lmask = shard_nodes(lm)
 
+    halo = {}
+    if build_halo:
+        halo = _build_halo_plan(
+            ei, per_shard, senders, receivers, edge_mask, edge_weight,
+            n_shards, n_loc, n_pad,
+        )
+
     return ShardedGraph(
         node_feat=shard_nodes(x),
         node_mask=shard_nodes(node_mask),
@@ -113,4 +139,71 @@ def partition_graph(
         label_mask=lmask,
         num_nodes_global=n,
         nodes_per_shard=n_loc,
+        **halo,
+    )
+
+
+def _build_halo_plan(ei, per_shard, senders, receivers, edge_mask,
+                     edge_weight, n_shards, n_loc, n_pad):
+    """Host-side boundary-exchange plan (see partition_graph docstring)."""
+    # global receiver-degree (reference normalization, difformer.py:66-74)
+    deg = np.zeros(n_pad, np.float64)
+    np.add.at(deg, ei[1], 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.sqrt(1.0 / deg)
+
+    e_loc = senders.shape[1]
+    # per ordered pair (src j -> dst s): owned rows of j needed by s
+    need = [[None] * n_shards for _ in range(n_shards)]
+    B = 1
+    for s in range(n_shards):
+        em = edge_mask[s]
+        glob = senders[s][em].astype(np.int64)
+        owners = glob // n_loc
+        for j in range(n_shards):
+            if j == s:
+                continue
+            ids = np.unique(glob[owners == j])
+            need[j][s] = ids
+            B = max(B, ids.shape[0])
+    B = -(-B // 8) * 8
+
+    send_idx = np.zeros((n_shards, n_shards, B), np.int32)
+    send_mask = np.zeros((n_shards, n_shards, B), bool)
+    # position map: for dst shard s, global id -> halo slot
+    slot_of = [dict() for _ in range(n_shards)]
+    for j in range(n_shards):
+        for s in range(n_shards):
+            ids = need[j][s]
+            if ids is None or ids.shape[0] == 0:
+                continue
+            send_idx[j, s, : ids.shape[0]] = ids - j * n_loc
+            send_mask[j, s, : ids.shape[0]] = True
+            for b, g in enumerate(ids):
+                slot_of[s][int(g)] = n_loc + j * B + b
+
+    senders_table = np.zeros((n_shards, e_loc), np.int32)
+    edge_value = np.zeros((n_shards, e_loc), np.float32)
+    for s in range(n_shards):
+        em = edge_mask[s]
+        glob = senders[s].astype(np.int64)
+        recv_glob = receivers[s].astype(np.int64) + s * n_loc
+        own = (glob // n_loc) == s
+        tab = np.zeros(e_loc, np.int64)
+        tab[own] = glob[own] - s * n_loc
+        for e in np.where(em & ~own)[0]:
+            tab[e] = slot_of[s][int(glob[e])]
+        senders_table[s] = tab
+        w = np.ones(e_loc) if edge_weight is None else edge_weight[s]
+        val = w * inv[recv_glob] * inv[glob]
+        edge_value[s] = np.where(
+            em, np.nan_to_num(val, nan=0.0, posinf=0.0, neginf=0.0), 0.0
+        ).astype(np.float32)
+
+    return dict(
+        senders_table=senders_table,
+        send_idx=send_idx,
+        send_mask=send_mask,
+        edge_value=edge_value,
+        halo_width=B,
     )

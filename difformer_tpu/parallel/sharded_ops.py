@@ -61,6 +61,31 @@ def gcn_conv_sharded(x, senders_global, receivers_local, edge_weight=None,
     return segment_sum(msg, receivers_local, n_loc, indices_are_sorted=True)
 
 
+def gcn_conv_halo(x, senders_table, receivers_local, edge_value, send_idx,
+                  send_mask, *, axis_name="graph"):
+    """Boundary-only distributed conv: each shard ships exactly the owned
+    rows its peers reference (host-precomputed plan, ``partition._build_
+    halo_plan``) through ONE ``all_to_all`` over the mesh axis, then runs a
+    purely local gather + sorted segment-sum against the ``[own || halo]``
+    table with host-prenormalized edge values. Communication volume is the
+    boundary set, not the full feature matrix (vs ``gcn_conv_sharded``'s
+    all_gather)."""
+    n_loc = x.shape[0]
+    send_buf = jnp.take(x, send_idx, axis=0)           # [S, B, ...]
+    send_buf = send_buf * send_mask.reshape(
+        send_mask.shape + (1,) * (x.ndim - 1)
+    ).astype(x.dtype)
+    recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                              concat_axis=0)
+    table = jnp.concatenate(
+        [x, recv.reshape((-1,) + x.shape[1:])], axis=0
+    )
+    msg = jnp.take(table, senders_table, axis=0) * edge_value.reshape(
+        (-1,) + (1,) * (x.ndim - 1)
+    ).astype(x.dtype)
+    return segment_sum(msg, receivers_local, n_loc, indices_are_sorted=True)
+
+
 def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
     """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
 
