@@ -315,6 +315,86 @@ def load_fb100(data_dir, sub_dataset="Penn94") -> NodeDataset:
     return ds
 
 
+def load_yelpchi(data_dir) -> NodeDataset:
+    """yelp-chi fraud graph .mat (``dataset.py:383-401``): homo adjacency,
+    binary label, dense features."""
+    from scipy.io import loadmat
+
+    path = _need(os.path.join(data_dir, "YelpChi.mat"), "yelp-chi")
+    mat = loadmat(path)
+    A = mat["homo"]
+    coo = A.tocoo()
+    ds = NodeDataset("yelp-chi")
+    feats = mat["features"]
+    ds.graph = {
+        "edge_index": np.stack([coo.row, coo.col]).astype(np.int64),
+        "node_feat": np.asarray(
+            feats.todense() if hasattr(feats, "todense") else feats,
+            np.float32,
+        ),
+        "edge_feat": None,
+        "num_nodes": A.shape[0],
+    }
+    ds.label = np.asarray(mat["label"]).reshape(-1).astype(np.int64)
+    return ds
+
+
+def load_snap_patents(data_dir, nclass=5) -> NodeDataset:
+    """snap-patents .mat with quantile labels of year (``dataset.py:343-365``)."""
+    from scipy.io import loadmat
+
+    path = _need(os.path.join(data_dir, "snap_patents.mat"), "snap-patents")
+    mat = loadmat(path)
+    ds = NodeDataset("snap-patents")
+    ds.graph = {
+        "edge_index": np.asarray(mat["edge_index"], np.int64),
+        "node_feat": np.asarray(
+            mat["node_feat"].todense()
+            if hasattr(mat["node_feat"], "todense") else mat["node_feat"],
+            np.float32,
+        ),
+        "edge_feat": None,
+        "num_nodes": int(mat["num_nodes"]),
+    }
+    years = np.asarray(mat["years"]).reshape(-1)
+    ds.label = even_quantile_labels(years, nclass)
+    return ds
+
+
+def load_twitch(data_dir, sub_dataset="DE") -> NodeDataset:
+    """twitch-e raw musae csv/json (``load_data.py``): edges csv, one-hot
+    feature json, binary 'mature' target."""
+    root = _need(os.path.join(data_dir, "twitch", sub_dataset),
+                 f"twitch {sub_dataset}")
+    import pandas as pd
+
+    edges = pd.read_csv(
+        os.path.join(root, f"musae_{sub_dataset}_edges.csv")
+    ).to_numpy().T
+    targets = pd.read_csv(
+        os.path.join(root, f"musae_{sub_dataset}_target.csv")
+    )
+    with open(os.path.join(root, f"musae_{sub_dataset}_features.json")) as f:
+        feats = json.load(f)
+    n = targets.shape[0]
+    label = targets["mature"].astype(np.int64).to_numpy()
+    dim = 3170  # musae one-hot vocabulary (load_data.py parity)
+    x = np.zeros((n, dim), np.float32)
+    for node, fs in feats.items():
+        for fid in fs:
+            if int(fid) < dim:
+                x[int(node), int(fid)] = 1.0
+    ds = NodeDataset(f"twitch-{sub_dataset}")
+    ds.graph = {
+        "edge_index": edges.astype(np.int64),
+        "node_feat": x,
+        "edge_feat": None,
+        "num_nodes": n,
+    }
+    ds.label = label
+    return ds
+
+
 def load_deezer(data_dir) -> NodeDataset:
     from scipy.io import loadmat
 
@@ -466,6 +546,12 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NodeDataset
         return load_fb100(data_dir, sub_dataset or "Penn94")
     if name == "deezer-europe":
         return load_deezer(data_dir)
+    if name == "yelp-chi":
+        return load_yelpchi(data_dir)
+    if name == "snap-patents":
+        return load_snap_patents(data_dir)
+    if name == "twitch-e":
+        return load_twitch(data_dir, sub_dataset or "DE")
     if name.startswith("ogbn-"):
         return load_ogb(data_dir, name)
     if name in ("mini", "20news", "stl10", "cifar10"):
