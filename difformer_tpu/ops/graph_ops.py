@@ -130,6 +130,26 @@ def gcn_norm(senders, receivers, num_nodes, edge_weight=None, *,
     return senders, receivers, norm
 
 
+def gen_normalized_adjs(senders, receivers, num_nodes, *, mode="DAD"):
+    """Degree-normalized adjacency weights (reference ``gen_normalized_adjs``
+    / ``normalize``, ``data_utils.py:203-227``): D⁻½AD⁻½ ('DAD'), D⁻¹A
+    ('DA'), or AD⁻¹ ('AD'). Returns per-edge values for use with ``spmm``."""
+    deg = degree(receivers, num_nodes)
+    deg_s = degree(senders, num_nodes)
+    if mode == "DAD":
+        inv_r = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+        inv_s = jnp.where(deg_s > 0, jax.lax.rsqrt(jnp.maximum(deg_s, 1e-30)),
+                          0.0)
+        return inv_r[receivers] * inv_s[senders]
+    if mode == "DA":
+        inv_r = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-30), 0.0)
+        return inv_r[receivers]
+    if mode == "AD":
+        inv_s = jnp.where(deg_s > 0, 1.0 / jnp.maximum(deg_s, 1e-30), 0.0)
+        return inv_s[senders]
+    raise ValueError(mode)
+
+
 def spmm(values, senders, receivers, x, num_nodes=None, *, indices_are_sorted=False):
     """Generic sparse @ dense: ``out[r] += values[e] * x[s]`` (COO).
 
