@@ -56,7 +56,7 @@ def main():
     LAYERS = 3
     STEPS = int(os.environ.get("BENCH_STEPS", 8))
     IMPL = os.environ.get("BENCH_IMPL", "ell")      # ell | coo
-    DTYPE = os.environ.get("BENCH_DTYPE", "")       # '' | bfloat16
+    DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | ''(f32)
 
     print(f"# bench: N={N} E={E} steps={STEPS} backend={jax.default_backend()}",
           file=sys.stderr, flush=True)
