@@ -43,6 +43,18 @@ def build_graph(n, e, f, seed=0):
 
 def main():
     import jax
+
+    # persistent compilation cache: the ELL program takes ~13 min to compile
+    # through the axon remote-compile tunnel; cached recompiles are seconds.
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import optax
 
