@@ -187,9 +187,16 @@ def run_temporal_task(cfg: Config):
         TemporalTrainer, temporal_signal_split,
     )
 
-    # torch_geometric_temporal loaders need network; synthetic fallback
-    if cfg.dataset.startswith("synthetic") or True:
+    if cfg.dataset.startswith("synthetic"):
         snaps = random_temporal_sequence(20, 100, 4, seed=cfg.seed)
+    else:
+        from difformer_tpu.data.temporal_loaders import load_temporal_dataset
+
+        try:
+            snaps = load_temporal_dataset(cfg.dataset, cfg.data_dir)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"[warn] {e}; using synthetic temporal stand-in")
+            snaps = random_temporal_sequence(20, 100, 4, seed=cfg.seed)
     train, vt = temporal_signal_split(snaps, cfg.train_ratio)
     val, test = temporal_signal_split(
         vt, cfg.val_ratio / (1 - cfg.train_ratio)

@@ -69,3 +69,27 @@ class TorchBatchNorm(nn.Module):
 
 class Dropout(nn.Dropout):
     """Alias with the torch calling convention (rate at construction)."""
+
+
+class FeatEncoder(nn.Module):
+    """Mixed categorical/scalar feature encoder (reference ``FeatEncoder``,
+    ``physical particle/utils/model_utils.py``): per-column embeddings for
+    categorical features (e.g. SynMol atom types) + a linear layer for the
+    scalar block, concatenated and projected to ``hidden``."""
+
+    hidden: int
+    categorical_cardinalities: tuple = ()   # one entry per leading int column
+
+    @nn.compact
+    def __call__(self, x):
+        n_cat = len(self.categorical_cardinalities)
+        parts = []
+        for i, card in enumerate(self.categorical_cardinalities):
+            emb = nn.Embed(card, self.hidden, name=f"embed_{i}")
+            parts.append(emb(x[..., i].astype(jnp.int32)))
+        if x.shape[-1] > n_cat:
+            parts.append(
+                TorchLinear(self.hidden, name="scalar")(x[..., n_cat:])
+            )
+        h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return TorchLinear(self.hidden, name="proj")(h)
