@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from difformer_tpu.nn.common import TorchLayerNorm, TorchLinear
@@ -44,6 +45,7 @@ class DIFFormerConv(nn.Module):
     graph_weight: float = -1.0
     use_source: bool = False
     axis_name: Optional[str] = None  # mesh axis for node-sharded execution
+    remat: bool = False              # jax.checkpoint the branch computations
 
     @nn.compact
     def __call__(
@@ -72,18 +74,27 @@ class DIFFormerConv(nn.Module):
             # reference difformer.py:120 — raw features as a single head
             value = source_input.reshape(-1, 1, D)
 
+        # optional rematerialization: recompute branch activations in the
+        # backward pass instead of storing [N/E, H, D] intermediates
+        ckpt = jax.checkpoint if self.remat else (lambda f: f)
+
         attn = None
         if self.kernel == "simple":
-            result = simple_attention(
-                query, key, value,
-                key_mask=node_mask,
-                num_queries=num_nodes_global,
-                output_attn=output_attn,
-                axis_name=self.axis_name,
-            )
-            attention_output = result[0] if output_attn else result
             if output_attn:
-                attn = result[1]
+                result = simple_attention(
+                    query, key, value, key_mask=node_mask,
+                    num_queries=num_nodes_global, output_attn=True,
+                    axis_name=self.axis_name,
+                )
+                attention_output, attn = result
+            else:
+                attention_output = ckpt(
+                    lambda q, k, v: simple_attention(
+                        q, k, v, key_mask=node_mask,
+                        num_queries=num_nodes_global,
+                        axis_name=self.axis_name,
+                    )
+                )(query, key, value)
         elif self.kernel == "sigmoid":
             if output_attn:
                 attention_output, attn = sigmoid_attention_dense(
@@ -128,11 +139,13 @@ class DIFFormerConv(nn.Module):
                     edge_mask=edge_mask, axis_name=self.axis_name,
                 )
             else:
-                graph_output = gcn_conv(
-                    value, senders, receivers, edge_weight,
-                    edge_mask=edge_mask,
-                    indices_are_sorted=indices_are_sorted,
-                )
+                graph_output = ckpt(
+                    lambda v: gcn_conv(
+                        v, senders, receivers, edge_weight,
+                        edge_mask=edge_mask,
+                        indices_are_sorted=indices_are_sorted,
+                    )
+                )(value)
             if self.graph_weight > 0:
                 final_output = (
                     (1 - self.graph_weight) * attention_output
@@ -171,6 +184,7 @@ class DIFFormer(nn.Module):
     use_source: bool = False
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None   # e.g. 'bfloat16'; params stay f32
+    remat: bool = False
 
     def _conv(self, i):
         return DIFFormerConv(
@@ -182,6 +196,7 @@ class DIFFormer(nn.Module):
             graph_weight=self.graph_weight,
             use_source=self.use_source,
             axis_name=self.axis_name,
+            remat=self.remat,
             name=f"conv_{i}",
         )
 

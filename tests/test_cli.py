@@ -1,0 +1,56 @@
+"""CLI smoke tests + fixed-seed golden regression (guards numeric drift —
+the reference's de-facto test strategy is rerun-and-compare printed accuracy,
+SURVEY.md §4; here it is automated)."""
+
+import numpy as np
+import pytest
+
+from difformer_tpu.cli import main, parse_method
+from difformer_tpu.utils.config import Config, make_config
+
+
+def test_presets_applied():
+    cfg = make_config("cora")
+    assert cfg.num_layers == 8 and cfg.hidden_channels == 64
+    assert cfg.rand_split_class
+    cfg2 = make_config("cora", num_layers=2)
+    assert cfg2.num_layers == 2  # override wins
+
+
+def test_parse_method_full_zoo():
+    cfg = Config()
+    for m in ["difformer", "mlp", "gcn", "gat", "sgc", "link", "mixhop",
+              "gcnjk", "gatjk", "h2gcn", "appnp", "gprgnn", "dcrnn",
+              "mpnn_lstm"]:
+        model = parse_method(cfg.replace(method=m), 100, 3)
+        assert model is not None
+    with pytest.raises(ValueError):
+        parse_method(cfg.replace(method="nope"), 100, 3)
+
+
+def test_cli_node_synthetic():
+    res = main([
+        "--dataset", "synthetic-200-800-8-3", "--epochs", "15", "--runs",
+        "1", "--rand_split", "true", "--hidden_channels", "8",
+        "--dropout", "0.0", "--display_step", "100",
+    ])
+    assert res[0]["test"] > 0.4
+
+
+def test_cli_temporal_synthetic():
+    res = main([
+        "--dataset", "chickenpox", "--epochs", "3", "--runs", "1",
+        "--hidden_channels", "4", "--display_step", "100",
+    ])  # falls back to synthetic temporal data with a warning
+    assert np.isfinite(res).all()
+
+
+def test_golden_fixed_seed_accuracy():
+    """Fixed seed + fixed synthetic graph must stay above a floor; catches
+    silent numeric regressions in ops/model/optimizer."""
+    res = main([
+        "--dataset", "synthetic-500-2000-16-3", "--epochs", "40", "--runs",
+        "1", "--rand_split", "true", "--hidden_channels", "16", "--seed",
+        "123", "--dropout", "0.0", "--display_step", "100",
+    ])
+    assert res[0]["test"] >= 0.9, res
