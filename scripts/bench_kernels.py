@@ -1,0 +1,102 @@
+"""Microbenchmarks for the Pallas kernels vs their XLA twins on TPU.
+
+Run standalone (one TPU process at a time!):
+  python scripts/bench_kernels.py sigmoid   # flash sigmoid attention
+  python scripts/bench_kernels.py ell       # ELL SpMM bucket kernel
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    jax.block_until_ready(x)
+    # force a real host sync through the tunnel
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+def bench_sigmoid():
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.kernels.pallas_sigmoid_attention import (
+        sigmoid_attention_pallas,
+    )
+    from difformer_tpu.ops.sigmoid_attention import sigmoid_attention
+
+    N, H, M, D = 16384, 1, 64, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    mask = jnp.ones((N,), jnp.float32)
+
+    f_xla = jax.jit(lambda q, k, v: sigmoid_attention(q, k, v,
+                                                      use_pallas=False))
+    f_pal = jax.jit(lambda q, k, v: sigmoid_attention_pallas(q, k, v, mask))
+
+    for name, f in [("xla-blockwise", f_xla), ("pallas", f_pal)]:
+        t0 = time.perf_counter()
+        out = f(q, k, v)
+        sync(out)
+        print(f"# {name}: compile+run {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = f(q, k, v)
+        sync(out)
+        dt = (time.perf_counter() - t0) / 10
+        pairs = N * N * H
+        print(f"{name}: {dt * 1e3:.1f} ms  ({pairs / dt / 1e9:.2f} Gpairs/s)",
+              flush=True)
+
+
+def bench_ell():
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.kernels.pallas_ell_spmm import ell_bucket_spmm_pallas
+    from difformer_tpu.ops.ell import build_ell_gcn
+
+    N, E, D = 131072, 4 * 1024 * 1024, 64
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, N, E).astype(np.int32)
+    r = rng.integers(0, N, E).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    ell, _ = build_ell_gcn(s, r, N)
+    # largest bucket only (dominant cost)
+    bi = int(np.argmax([w.shape[0] * w.shape[1] for w in ell.weight]))
+    idx, w = ell.nbr_idx[bi], ell.weight[bi]
+    print(f"# bucket {bi}: {idx.shape}", flush=True)
+
+    def xla_ref(x, idx, w):
+        g = jnp.take(x, idx.reshape(-1), axis=0).reshape(idx.shape + (D,))
+        return jnp.sum(g * w[..., None], axis=1)
+
+    f_xla = jax.jit(xla_ref)
+    f_pal = jax.jit(
+        lambda x, idx, w: ell_bucket_spmm_pallas(x, idx, w)
+    )
+    rows = idx.shape[0] * idx.shape[1]
+    for name, f in [("xla-gather", f_xla), ("pallas-dma", f_pal)]:
+        t0 = time.perf_counter()
+        out = f(x, idx, w)
+        sync(out)
+        print(f"# {name}: compile+run {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = f(x, idx, w)
+        sync(out)
+        dt = (time.perf_counter() - t0) / 10
+        print(f"{name}: {dt * 1e3:.1f} ms  ({rows / dt / 1e6:.1f}M rows/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "sigmoid"
+    {"sigmoid": bench_sigmoid, "ell": bench_ell}[which]()
