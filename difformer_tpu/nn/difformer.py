@@ -124,13 +124,24 @@ class DIFFormerConv(nn.Module):
                 graph_output = gcn_conv_ell(value, ell[0], ell[1])
             elif self.axis_name is not None and halo is not None:
                 # boundary-only all_to_all exchange (parallel/sharded_ops)
-                from difformer_tpu.parallel.sharded_ops import gcn_conv_halo
+                if isinstance(halo, dict):
+                    from difformer_tpu.parallel.sharded_ops import (
+                        gcn_conv_halo_overlap,
+                    )
 
-                send_idx, send_mask, edge_value = halo
-                graph_output = gcn_conv_halo(
-                    value, senders, receivers, edge_value, send_idx,
-                    send_mask, axis_name=self.axis_name,
-                )
+                    graph_output = gcn_conv_halo_overlap(
+                        value, halo, axis_name=self.axis_name
+                    )
+                else:
+                    from difformer_tpu.parallel.sharded_ops import (
+                        gcn_conv_halo,
+                    )
+
+                    send_idx, send_mask, edge_value = halo
+                    graph_output = gcn_conv_halo(
+                        value, senders, receivers, edge_value, send_idx,
+                        send_mask, axis_name=self.axis_name,
+                    )
             elif self.axis_name is not None:
                 from difformer_tpu.parallel.sharded_ops import gcn_conv_sharded
 

@@ -55,7 +55,7 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
         if edge_weight is not None:
             edge_weight = edge_weight[0]
         if halo is not None:
-            halo = tuple(h[0] for h in halo)
+            halo = jax.tree_util.tree_map(lambda t: t[0], halo)
         rngs = None
         if rng is not None:
             # fold in the shard index for decorrelated dropout
@@ -88,7 +88,8 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             P(axis),        # receivers
             P(axis),        # edge_mask
             P() if ew is None else P(axis),
-            P() if halo is None else (P(axis),) * 3,
+            P() if halo is None
+            else jax.tree_util.tree_map(lambda _: P(axis), halo),
             P(),            # rng
         )
         f = jax.shard_map(
@@ -106,7 +107,17 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
 
 
 def _senders_and_halo(sg: ShardedGraph):
-    """Pick the boundary-exchange plan when the partition carries one."""
+    """Pick the boundary-exchange plan when the partition carries one.
+    Prefers the comm/compute-overlap split (dict plan)."""
+    if sg.int_senders is not None:
+        plan = {
+            "send_idx": sg.send_idx, "send_mask": sg.send_mask,
+            "int_senders": sg.int_senders,
+            "int_receivers": sg.int_receivers, "int_value": sg.int_value,
+            "bnd_senders": sg.bnd_senders,
+            "bnd_receivers": sg.bnd_receivers, "bnd_value": sg.bnd_value,
+        }
+        return sg.senders_table, plan
     if sg.senders_table is not None:
         return sg.senders_table, (sg.send_idx, sg.send_mask, sg.edge_value)
     return sg.senders, None
@@ -128,7 +139,7 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
         if edge_weight is not None:
             edge_weight = edge_weight[0]
         if halo is not None:
-            halo = tuple(h[0] for h in halo)
+            halo = jax.tree_util.tree_map(lambda t: t[0], halo)
 
         def local_loss(p):
             rngs = {
@@ -158,7 +169,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             P(), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis),
             P() if ew is None else P(axis),
-            P() if halo is None else (P(axis),) * 3,
+            P() if halo is None
+            else jax.tree_util.tree_map(lambda _: P(axis), halo),
             P(axis), P(axis), P(),
         )
         f = jax.shard_map(

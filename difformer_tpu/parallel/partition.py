@@ -43,6 +43,15 @@ class ShardedGraph:
     send_idx: Optional[Any] = None
     send_mask: Optional[Any] = None
     edge_value: Optional[Any] = None
+    # overlap split: internal edges (sender local) vs boundary edges (sender
+    # in the halo buffer) — lets XLA hide the all_to_all behind the
+    # internal-edge aggregation (no data dependency between them)
+    int_senders: Optional[Any] = None    # [S, E_int] local sender idx
+    int_receivers: Optional[Any] = None  # [S, E_int] local receiver idx
+    int_value: Optional[Any] = None      # [S, E_int]
+    bnd_senders: Optional[Any] = None    # [S, E_bnd] idx into halo buffer
+    bnd_receivers: Optional[Any] = None  # [S, E_bnd]
+    bnd_value: Optional[Any] = None      # [S, E_bnd]
     num_nodes_global: int = struct.field(pytree_node=False, default=0)
     nodes_per_shard: int = struct.field(pytree_node=False, default=0)
     halo_width: int = struct.field(pytree_node=False, default=0)
@@ -200,10 +209,48 @@ def _build_halo_plan(ei, per_shard, senders, receivers, edge_mask,
             em, np.nan_to_num(val, nan=0.0, posinf=0.0, neginf=0.0), 0.0
         ).astype(np.float32)
 
+    # --- overlap split: internal (sender local) vs boundary edges ---------
+    int_lists, bnd_lists = [], []
+    for s in range(n_shards):
+        em = edge_mask[s]
+        glob = senders[s].astype(np.int64)
+        own = (glob // n_loc) == s
+        sel_int = np.where(em & own)[0]
+        sel_bnd = np.where(em & ~own)[0]
+        int_lists.append((
+            senders_table[s][sel_int], receivers[s][sel_int],
+            edge_value[s][sel_int],
+        ))
+        bnd_lists.append((
+            senders_table[s][sel_bnd] - n_loc, receivers[s][sel_bnd],
+            edge_value[s][sel_bnd],
+        ))
+
+    def pad_split(lists):
+        e_max = max(max(l[0].shape[0] for l in lists), 1)
+        e_pad = -(-e_max // 128) * 128
+        S = len(lists)
+        si = np.zeros((S, e_pad), np.int32)
+        # pad receivers with the LAST local node id so receiver-sorted order
+        # survives padding (padding values are 0, so they contribute nothing)
+        ri = np.full((S, e_pad), n_loc - 1, np.int32)
+        vv = np.zeros((S, e_pad), np.float32)
+        for s, (a, b, v) in enumerate(lists):
+            e = a.shape[0]
+            si[s, :e] = a
+            ri[s, :e] = b
+            vv[s, :e] = v  # padding keeps value 0 → contributes nothing
+        return si, ri, vv
+
+    int_s, int_r, int_v = pad_split(int_lists)
+    bnd_s, bnd_r, bnd_v = pad_split(bnd_lists)
+
     return dict(
         senders_table=senders_table,
         send_idx=send_idx,
         send_mask=send_mask,
         edge_value=edge_value,
+        int_senders=int_s, int_receivers=int_r, int_value=int_v,
+        bnd_senders=bnd_s, bnd_receivers=bnd_r, bnd_value=bnd_v,
         halo_width=B,
     )

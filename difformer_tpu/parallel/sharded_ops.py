@@ -86,6 +86,39 @@ def gcn_conv_halo(x, senders_table, receivers_local, edge_value, send_idx,
     return segment_sum(msg, receivers_local, n_loc, indices_are_sorted=True)
 
 
+def gcn_conv_halo_overlap(x, plan, *, axis_name="graph"):
+    """Halo conv with communication/compute overlap.
+
+    ``plan`` (dict, per-shard local arrays) splits edges into internal
+    (sender local) and boundary (sender remote) sets. The all_to_all of
+    boundary rows has no data dependency on the internal-edge aggregation,
+    so XLA's latency-hiding scheduler runs them concurrently — the manual
+    analog of overlapping the NCCL halo exchange with local SpMM.
+    """
+    n_loc = x.shape[0]
+    trail = (1,) * (x.ndim - 1)
+
+    send_buf = jnp.take(x, plan["send_idx"], axis=0)
+    send_buf = send_buf * plan["send_mask"].reshape(
+        plan["send_mask"].shape + trail
+    ).astype(x.dtype)
+    recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                              concat_axis=0)
+
+    internal = segment_sum(
+        jnp.take(x, plan["int_senders"], axis=0)
+        * plan["int_value"].reshape((-1,) + trail).astype(x.dtype),
+        plan["int_receivers"], n_loc, indices_are_sorted=True,
+    )
+    halo = recv.reshape((-1,) + x.shape[1:])
+    boundary = segment_sum(
+        jnp.take(halo, plan["bnd_senders"], axis=0)
+        * plan["bnd_value"].reshape((-1,) + trail).astype(x.dtype),
+        plan["bnd_receivers"], n_loc, indices_are_sorted=True,
+    )
+    return internal + boundary
+
+
 def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
     """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
 
