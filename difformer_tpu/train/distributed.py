@@ -69,6 +69,7 @@ class DistributedTrainer:
         self.sg = partition_graph(
             np.asarray(node_feat, np.float32), np.asarray(edge_index),
             n_shards, labels=labels_for_train, label_mask=train_mask,
+            build_halo=True,   # boundary-only exchange with comm overlap
         )
         self.model = model
         self.init_model = init_model

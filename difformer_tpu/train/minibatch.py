@@ -80,7 +80,6 @@ class MiniBatchTrainer:
         def loss(p):
             out = self.model.apply(
                 {"params": p}, x, s, r, None,
-                node_mask=lmask if False else None,
                 edge_mask=em, train=True, rngs={"dropout": rng},
             )
             return self.loss_fn(out, labels, lmask)
