@@ -306,7 +306,8 @@ class MixHop(nn.Module):
 
 
 class _JK(nn.Module):
-    """JumpingKnowledge 'max' | 'cat' (PyG parity; 'lstm' TODO)."""
+    """JumpingKnowledge 'max' | 'cat' | 'lstm' (PyG parity: bi-LSTM over the
+    layer sequence, scalar attention scores, softmax-weighted sum)."""
 
     mode: str = "max"
 
@@ -316,6 +317,26 @@ class _JK(nn.Module):
             return jnp.max(jnp.stack(xs, axis=0), axis=0)
         if self.mode == "cat":
             return jnp.concatenate(xs, axis=-1)
+        if self.mode == "lstm":
+            seq = jnp.stack(xs, axis=0)              # [L, N, C]
+            L, n, c = seq.shape
+            hid = c  # PyG uses channels as the LSTM hidden size
+
+            def run(cell, s):
+                carry = cell.initialize_carry(jax.random.PRNGKey(0), (n, c))
+                ys = []
+                for t in range(s.shape[0]):
+                    carry, y = cell(carry, s[t])
+                    ys.append(y)
+                return jnp.stack(ys, axis=0)
+
+            fwd = run(nn.OptimizedLSTMCell(hid, name="lstm_fwd"), seq)
+            bwd = run(nn.OptimizedLSTMCell(hid, name="lstm_bwd"),
+                      seq[::-1])[::-1]
+            h = jnp.concatenate([fwd, bwd], axis=-1)  # [L, N, 2C]
+            score = TorchLinear(1, name="att")(h)[..., 0]      # [L, N]
+            alpha = jax.nn.softmax(score, axis=0)
+            return jnp.sum(seq * alpha[..., None], axis=0)
         raise NotImplementedError(f"JK mode {self.mode!r}")
 
 

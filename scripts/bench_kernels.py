@@ -5,10 +5,15 @@ Run standalone (one TPU process at a time!):
   python scripts/bench_kernels.py ell       # ELL SpMM bucket kernel
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# make the repo importable without touching PYTHONPATH (overriding it breaks
+# the axon TPU plugin, which is injected via /root/.axon_site on PYTHONPATH)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sync(x):
