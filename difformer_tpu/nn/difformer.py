@@ -64,6 +64,7 @@ class DIFFormerConv(nn.Module):
         output_attn=False,
         ell=None,
         halo=None,
+        edge_chunk_size=None,
     ):
         H, D = self.num_heads, self.out_channels
         query = TorchLinear(D * H, name="Wq")(query_input).reshape(-1, H, D)
@@ -155,6 +156,7 @@ class DIFFormerConv(nn.Module):
                         v, senders, receivers, edge_weight,
                         edge_mask=edge_mask,
                         indices_are_sorted=indices_are_sorted,
+                        edge_chunk_size=edge_chunk_size,
                     )
                 )(value)
             if self.graph_weight > 0:
@@ -227,6 +229,7 @@ class DIFFormer(nn.Module):
         output_attn=False,
         ell=None,
         halo=None,
+        edge_chunk_size=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -256,6 +259,7 @@ class DIFFormer(nn.Module):
                 output_attn=output_attn,
                 ell=ell,
                 halo=halo,
+                edge_chunk_size=edge_chunk_size,
             )
             if output_attn:
                 x, attn = out

@@ -55,6 +55,7 @@ def gcn_conv(
     num_nodes=None,
     edge_mask=None,
     indices_are_sorted=False,
+    edge_chunk_size=None,
 ):
     """Symmetric-normalized graph convolution: ``out[r] += value * x[s]``.
 
@@ -76,6 +77,33 @@ def gcn_conv(
     value = gcn_norm_weights_masked(
         senders, receivers, num_nodes, edge_weight, edge_mask
     )
+    if edge_chunk_size is not None and senders.shape[0] > edge_chunk_size:
+        # stream edges in blocks: peak memory = chunk × feature instead of
+        # E × feature (enables full-graph eval at pokec scale on one chip,
+        # where the reference falls back to CPU eval — eval.py:34-63)
+        e = senders.shape[0]
+        chunk = edge_chunk_size
+        pad = (-e) % chunk
+        if pad:
+            senders = jnp.pad(senders, (0, pad))
+            receivers = jnp.pad(receivers, (0, pad))
+            value = jnp.pad(value, (0, pad))
+        nb = senders.shape[0] // chunk
+
+        def body(acc, blk):
+            s_b, r_b, v_b = blk
+            msg = jnp.take(x, s_b, axis=0) * v_b.reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            ).astype(x.dtype)
+            return acc + segment_sum(msg, r_b, num_nodes), None
+
+        init = jnp.zeros((num_nodes,) + x.shape[1:], x.dtype)
+        out, _ = jax.lax.scan(
+            body, init,
+            (senders.reshape(nb, chunk), receivers.reshape(nb, chunk),
+             value.reshape(nb, chunk)),
+        )
+        return out
     msg = jnp.take(x, senders, axis=0) * value.reshape(
         (-1,) + (1,) * (x.ndim - 1)
     ).astype(x.dtype)

@@ -142,8 +142,16 @@ class MiniBatchTrainer:
     def _full_forward(self, params):
         e_b = edge_bucket(self.ei.shape[1])
         ei, _, em = pad_edges(self.ei, None, e_b)
-        fwd = jax.jit(self._fwd_impl)
-        return fwd(
+        # stream edges in 2M blocks when the message tensor would not fit
+        chunk = 2 * 1024 * 1024 if e_b > 8 * 1024 * 1024 else None
+
+        def fwd(params, x, s, r, em):
+            return self.model.apply(
+                {"params": params}, x, s, r, None, edge_mask=em,
+                train=False, edge_chunk_size=chunk,
+            )
+
+        return jax.jit(fwd)(
             params, jnp.asarray(self.x), jnp.asarray(ei[0], jnp.int32),
             jnp.asarray(ei[1], jnp.int32), jnp.asarray(em),
         )
