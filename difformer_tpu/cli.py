@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import dataclasses
-import sys
+
 
 import numpy as np
 

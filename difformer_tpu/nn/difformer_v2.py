@@ -24,7 +24,7 @@ by its own trainer (``models.py:28`` vs ``main.py:85``, SURVEY.md §2.1);
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ BatchNorm carry a ``batch_stats`` collection (torch ``BatchNorm1d`` parity).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

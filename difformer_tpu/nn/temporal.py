@@ -16,7 +16,7 @@ Reference: ``spatial-temporal/gnns.py:15-362``. Notes on deviations
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from difformer_tpu.data.batching import pad_graph_batch
-from difformer_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from difformer_tpu.parallel.mesh import DATA_AXIS
 
 
 def shard_batches(dataset: Sequence, indices, per_device_batch, n_devices, *,
