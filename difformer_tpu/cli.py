@@ -124,7 +124,28 @@ def run_node_task(cfg: Config):
             return ds.get_idx_split("random", cfg.train_prop, cfg.valid_prop,
                                     rng=run)
 
-    if cfg.use_minibatch:
+    if cfg.n_shards > 1:
+        # node-sharded distributed training over a device mesh
+        from difformer_tpu.parallel.mesh import make_mesh
+        from difformer_tpu.train.distributed import DistributedTrainer
+        from difformer_tpu.train.trainer import idx_to_mask
+
+        init_model = parse_method(cfg.replace(n_shards=1), n, n_classes)
+        res = []
+        for run in range(cfg.runs):
+            split = split_for(run)
+            trainer = DistributedTrainer(
+                model, init_model, x, ei, label,
+                train_mask=idx_to_mask(split["train"], n),
+                mesh=make_mesh((cfg.n_shards,), ("graph",)),
+                lr=cfg.lr, weight_decay=cfg.weight_decay, loss=loss,
+                metric=cfg.metric, seed=cfg.seed,
+            )
+            r = trainer.fit(split, epochs=cfg.epochs, runs=1,
+                            eval_step=cfg.eval_step, logger=logger,
+                            verbose=True, display_step=cfg.display_step)
+            res.extend(r)
+    elif cfg.use_minibatch:
         trainer = MiniBatchTrainer(
             model, x, ei, label, batch_size=cfg.batch_size, lr=cfg.lr,
             weight_decay=cfg.weight_decay, loss=loss, metric=cfg.metric,

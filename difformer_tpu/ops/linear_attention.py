@@ -79,8 +79,9 @@ def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
     """
     if key_mask is not None:
         m = key_mask.astype(qs.dtype)[:, None, None]
-        qs = qs * m
         ks = ks * m
+        if qs.shape[0] == ks.shape[0]:  # queries==keys in all model paths
+            qs = qs * m
     qs = _frobenius_normalize(qs, axis_name)
     ks = _frobenius_normalize(ks, axis_name)
 
