@@ -79,7 +79,9 @@ class DistributedTrainer:
         loss_fn = _nll_sum if loss == "nll" else _bce_sum
         self._step = make_sharded_train_step(model, self.mesh, self.tx,
                                              loss_fn)
-        self._apply = sharded_apply(model, self.mesh)
+        apply_fn = sharded_apply(model, self.mesh)
+        # jit ONCE (a fresh lambda per eval would retrace every epoch)
+        self._apply = jax.jit(lambda p, g: apply_fn(p, g))
         self._x0 = np.asarray(node_feat, np.float32)
         self._ei0 = np.asarray(edge_index)
 
@@ -95,9 +97,7 @@ class DistributedTrainer:
         return params, self.tx.init(params)
 
     def evaluate(self, params, split_idx):
-        out = np.asarray(
-            jax.jit(lambda p, g: self._apply(p, g))(params, self.sg)
-        )
+        out = np.asarray(self._apply(params, self.sg))
         out = out.reshape(-1, out.shape[-1])[: self.labels_eval.shape[0]]
         return {
             name: self.metric_fn(self.labels_eval[np.asarray(idx)],

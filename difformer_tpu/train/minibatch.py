@@ -140,21 +140,25 @@ class MiniBatchTrainer:
         return res, out
 
     def _full_forward(self, params):
-        e_b = edge_bucket(self.ei.shape[1])
-        ei, _, em = pad_edges(self.ei, None, e_b)
-        # stream edges in 2M blocks when the message tensor would not fit
-        chunk = 2 * 1024 * 1024 if e_b > 8 * 1024 * 1024 else None
+        if not hasattr(self, "_full_fwd_jit"):
+            e_b = edge_bucket(self.ei.shape[1])
+            ei, _, em = pad_edges(self.ei, None, e_b)
+            # stream edges in 2M blocks when messages would not fit HBM
+            chunk = 2 * 1024 * 1024 if e_b > 8 * 1024 * 1024 else None
 
-        def fwd(params, x, s, r, em):
-            return self.model.apply(
-                {"params": params}, x, s, r, None, edge_mask=em,
-                train=False, edge_chunk_size=chunk,
+            def fwd(params, x, s, r, em):
+                return self.model.apply(
+                    {"params": params}, x, s, r, None, edge_mask=em,
+                    train=False, edge_chunk_size=chunk,
+                )
+
+            # jit once; cache the device-resident graph arrays with it
+            self._full_fwd_jit = jax.jit(fwd)
+            self._full_args = (
+                jnp.asarray(self.x), jnp.asarray(ei[0], jnp.int32),
+                jnp.asarray(ei[1], jnp.int32), jnp.asarray(em),
             )
-
-        return jax.jit(fwd)(
-            params, jnp.asarray(self.x), jnp.asarray(ei[0], jnp.int32),
-            jnp.asarray(ei[1], jnp.int32), jnp.asarray(em),
-        )
+        return self._full_fwd_jit(params, *self._full_args)
 
     def fit(self, split_idx, *, epochs=50, runs=1, eval_step=9,
             logger=None, verbose=False):
