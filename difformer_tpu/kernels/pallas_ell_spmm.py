@@ -96,7 +96,11 @@ def ell_bucket_spmm_pallas(x, nbr_idx, weight, *, block_rows=8, window=16,
         grid=(nb_pad // BR,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # x stays in HBM
-            pl.BlockSpec((BR, k), lambda i, idx: (i, 0)),  # weights
+            # weights are read one scalar at a time with dynamic (row, col) —
+            # that must live in SMEM (Mosaic cannot prove dynamic lane
+            # alignment for VMEM scalar loads)
+            pl.BlockSpec((BR, k), lambda i, idx: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((BR, D), lambda i, idx: (i, 0)),
         scratch_shapes=[
