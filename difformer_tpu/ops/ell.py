@@ -114,6 +114,11 @@ def _build_direction(point_to, owner, values, num_nodes, *, bucket_factor=4,
             pos = np.minimum(starts[:, None] + cols, e_total - 1)
             idx = np.where(mask, point_s[pos], 0).astype(np.int32)
             w = np.where(mask, val_s[pos], 0.0).astype(np.float32)
+        # sort each row's neighbors by index: ascending addresses within a
+        # row give the gather engine what locality the graph has to offer
+        order2 = np.argsort(idx, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order2, axis=1)
+        w = np.take_along_axis(w, order2, axis=1)
         nbr_idx.append(jnp.asarray(idx))
         weights.append(jnp.asarray(w))
 
