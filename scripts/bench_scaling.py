@@ -1,0 +1,106 @@
+"""Multi-device scaling harness — edges/s vs shard count.
+
+Measures the node-sharded distributed train step (halo exchange + psum'd
+linear attention) at 1..N shards on whatever devices are available and
+reports scaling efficiency (BASELINE.md north star: ≥80% at N hosts).
+
+On real multi-chip hardware run as-is (one process per host with
+`parallel.launch.initialize_cluster`). Without TPUs, `--cpu N` uses N
+virtual CPU devices — correctness/compile validation only (CPU timings do
+not reflect ICI).
+
+  python scripts/bench_scaling.py --cpu 8 --n 32768 --e 262144
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", type=int, default=0,
+                   help="use N virtual CPU devices")
+    p.add_argument("--n", type=int, default=32768)
+    p.add_argument("--e", type=int, default=262144)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--steps", type=int, default=5)
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.parallel import make_mesh, partition_graph
+    from difformer_tpu.parallel.api import make_sharded_train_step
+    from difformer_tpu.train.optim import torch_adam
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(args.n, args.hidden)).astype(np.float32)
+    ei = np.stack([
+        rng.integers(0, args.n, args.e), rng.integers(0, args.n, args.e),
+    ]).astype(np.int64)
+    y = rng.integers(0, 8, args.n)
+    mask = np.ones(args.n, bool)
+    tx = torch_adam(1e-2, 0.0)
+
+    def loss_fn(logits, labels, m):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(
+            logp, labels.reshape(-1, 1).astype(jnp.int32), axis=-1
+        )[:, 0]
+        mf = m.astype(logits.dtype)
+        return -jnp.sum(ll * mf), jnp.sum(mf)
+
+    init_model = DIFFormer(hidden_channels=args.hidden, out_channels=8,
+                           num_layers=args.layers, dropout=0.0)
+    variables = init_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x),
+        jnp.asarray(ei[0, :128], jnp.int32), jnp.asarray(ei[1, :128], jnp.int32),
+        train=False,
+    )
+
+    results = {}
+    shards = [s for s in [1, 2, 4, 8, 16, 32] if s <= n_dev]
+    for s in shards:
+        mesh = make_mesh((s,), ("graph",), devices=jax.devices()[:s])
+        model = DIFFormer(hidden_channels=args.hidden, out_channels=8,
+                          num_layers=args.layers, dropout=0.0,
+                          axis_name="graph")
+        sg = partition_graph(x, ei, s, labels=y, label_mask=mask,
+                             build_halo=True)
+        step = make_sharded_train_step(model, mesh, tx, loss_fn)
+        # fresh copy per shard count — the step donates params/opt buffers
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        opt = tx.init(params)
+        params, opt, l = step(params, opt, sg, jax.random.PRNGKey(1))
+        float(l)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            params, opt, l = step(params, opt, sg, jax.random.PRNGKey(i))
+        float(l)
+        dt = (time.perf_counter() - t0) / args.steps
+        eps = args.e * args.layers / dt
+        results[s] = eps
+        base = results[shards[0]] * s / shards[0]
+        print(f"shards={s:3d}  {dt * 1e3:8.1f} ms/step  "
+              f"{eps / 1e6:8.1f}M edges/s  "
+              f"efficiency={eps / base * 100:5.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()
