@@ -126,6 +126,7 @@ class DIFFormerV2(nn.Module):
     use_graph: bool = True
     graph_weight: float = -1.0
     crossgraph_quirk: bool = False
+    compute_dtype: str = ""          # e.g. 'bfloat16'; params stay f32
 
     @nn.compact
     def __call__(
@@ -142,6 +143,8 @@ class DIFFormerV2(nn.Module):
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
+        if self.compute_dtype:
+            x_pad = x_pad.astype(self.compute_dtype)
         x = TorchLinear(self.hidden_channels, name="fc_in")(x_pad)
         if self.use_bn:
             x = TorchLayerNorm(name="ln_0")(x)
@@ -170,6 +173,8 @@ class DIFFormerV2(nn.Module):
 
         x_out = TorchLinear(self.out_channels, name="fc_out")(x)
         x_out = drop(x_out)          # v2 output dropout (difformer-v2.py:222)
+        if self.compute_dtype:
+            x_out = x_out.astype(jnp.float32)
         return x_out
 
 

@@ -104,12 +104,19 @@ class MiniBatchTrainer:
                 chunk = np.concatenate(
                     [chunk, np.zeros(self.batch_size - real, np.int64)]
                 )
-            sub, _ = subgraph(chunk[:real], self.ei, self.n,
-                              relabel_nodes=False)
-            # relabel via position in chunk
-            remap = -np.ones(self.n, np.int64)
-            remap[chunk[:real]] = np.arange(real)
-            sub = remap[sub]
+            from difformer_tpu import native
+
+            if native.available():
+                # C++ fast path: mask + relabel in one O(E) pass
+                sub = native.induced_subgraph(
+                    self.ei[0], self.ei[1], chunk[:real], self.n
+                )
+            else:
+                sub, _ = subgraph(chunk[:real], self.ei, self.n,
+                                  relabel_nodes=False)
+                remap = -np.ones(self.n, np.int64)
+                remap[chunk[:real]] = np.arange(real)
+                sub = remap[sub]
             sub, _, em = pad_edges(sub, None, e_bucket)
             lmask = np.zeros(self.batch_size, bool)
             lmask[:real] = True
