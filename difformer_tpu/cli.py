@@ -41,7 +41,9 @@ def parse_method(cfg: Config, n_nodes: int, n_classes: int):
     common = dict(hidden_channels=cfg.hidden_channels,
                   out_channels=n_classes, num_layers=cfg.num_layers,
                   dropout=cfg.dropout)
-    if m == "mlp":
+    if m in ("mlp", "manireg"):
+        # manireg = MLP + Laplacian smoothness regularizer in the loss
+        # (image and text/main.py:103-112; weight via cfg.manireg)
         return Z.MLP(**common)
     if m == "gcn":
         return Z.GCN(**common, use_bn=cfg.use_bn)
@@ -169,6 +171,7 @@ def run_node_task(cfg: Config):
             model, graph, label, lr=cfg.lr, weight_decay=cfg.weight_decay,
             loss=loss, metric=cfg.metric, seed=cfg.seed,
             model_kwargs={"ell": ell} if ell is not None else None,
+            manireg=cfg.manireg if cfg.method == "manireg" else 0.0,
         )
         if cfg.eval_only:
             # checkpoint-eval harness (reference test_large_dataset.py:85-98)

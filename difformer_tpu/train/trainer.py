@@ -90,6 +90,7 @@ class FullBatchTrainer:
         seed: int = 123,
         onehot_bce_labels: bool = False,
         model_kwargs: Optional[dict] = None,
+        manireg: float = 0.0,
     ):
         self.model = model
         self.graph = graph
@@ -98,6 +99,7 @@ class FullBatchTrainer:
         self.loss_fn = LOSSES[loss]
         self.tx = torch_adam(lr, weight_decay)
         self.seed = seed
+        self.manireg = manireg
         self.model_kwargs = dict(model_kwargs or {})
         self._sorted = bool(
             self.model_kwargs.pop("indices_are_sorted", graph.edges_sorted)
@@ -164,7 +166,16 @@ class FullBatchTrainer:
             indices_are_sorted=self._sorted,
             **kwargs,
         )
-        return self.loss_fn(out, labels, train_mask), new_vars
+        loss = self.loss_fn(out, labels, train_mask)
+        if self.manireg > 0:
+            # Laplacian smoothness over edges (image and text/main.py:103-112)
+            diff = jnp.take(out, g.senders, axis=0) - jnp.take(
+                out, g.receivers, axis=0
+            )
+            loss = loss + self.manireg * jnp.mean(
+                jnp.sum(jnp.square(diff), axis=-1)
+            )
+        return loss, new_vars
 
     def _train_step_impl(self, state: TrainState, rng, train_mask, g, labels,
                          kwargs):

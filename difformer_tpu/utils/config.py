@@ -55,6 +55,7 @@ class Config:
 
     # set-encoder track (image and text/parse.py)
     knn_k: int = 5
+    manireg: float = 1.0     # Laplacian-reg weight for --method manireg
 
     # temporal track
     train_ratio: float = 0.5
