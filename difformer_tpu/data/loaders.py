@@ -414,16 +414,145 @@ def load_deezer(data_dir) -> NodeDataset:
 
 
 # --------------------------------------------------------------------------
-# OGB (package-gated)
+# OGB — direct parsing of the standard on-disk layout (no ogb package)
 # --------------------------------------------------------------------------
 
+# per-dataset metadata the ogb package reads from master.csv; pinned here so
+# the raw csv.gz layout can be parsed standalone (reference dataset.py:250-292
+# goes through NodePropPredDataset instead).
+_OGB_META = {
+    "ogbn-arxiv": {"split": "time", "inverse": False,
+                   "extras": ["node_year"]},
+    "ogbn-proteins": {"split": "species", "inverse": True,
+                      "extras": ["node_species"]},
+    "ogbn-products": {"split": "sales_ranking", "inverse": False,
+                      "extras": []},
+}
+
+
+def _read_csv_gz(path, dtype):
+    """Headerless csv.gz → 2-D ndarray (pandas when present, numpy fallback)."""
+    try:
+        import pandas as pd
+
+        return pd.read_csv(path, header=None, dtype=dtype,
+                           compression="gzip").to_numpy()
+    except ImportError:
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            return np.loadtxt(f, dtype=dtype, delimiter=",", ndmin=2)
+
+
+def load_ogb_raw(data_dir, name) -> NodeDataset:
+    """Parse an OGB node-prop dataset from its standard extracted layout::
+
+        <data_dir>/<name with _>/raw/{edge,node-feat,node-label,...}.csv.gz
+        <data_dir>/<name with _>/split/<split_name>/{train,valid,test}.csv.gz
+
+    i.e. exactly what ``ogbn-*.zip`` unpacks to — no ogb package needed.
+    A parsed ``.npz`` cache is written next to ``raw/`` for fast reloads.
+    Semantics match ``read_csv_graph_raw`` + ``NodePropPredDataset``
+    (inverse-edge duplication for proteins; proteins node features = mean of
+    incident edge features, reference dataset.py:284-287).
+    """
+    meta = _OGB_META[name]
+    root = os.path.join(data_dir, name.replace("-", "_"))
+    cache = os.path.join(root, "processed_difformer_tpu.npz")
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=False)
+        ds = NodeDataset(name)
+        ds.graph = {
+            "edge_index": z["edge_index"],
+            "node_feat": z["node_feat"],
+            "edge_feat": z["edge_feat"] if z["edge_feat"].size else None,
+            "num_nodes": int(z["num_nodes"]),
+        }
+        ds.label = z["label"]
+        ds._fixed_splits = {k: z[f"split_{k}"]
+                            for k in ("train", "valid", "test")}
+        for ex in meta["extras"]:
+            setattr(ds, ex, z[ex])
+        return ds
+
+    raw = _need(os.path.join(root, "raw"), f"{name} raw directory")
+    edge = _read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64).T
+    num_nodes = int(_read_csv_gz(
+        os.path.join(raw, "num-node-list.csv.gz"), np.int64)[0, 0])
+    nf_path = os.path.join(raw, "node-feat.csv.gz")
+    node_feat = (_read_csv_gz(nf_path, np.float32)
+                 if os.path.exists(nf_path) else None)
+    ef_path = os.path.join(raw, "edge-feat.csv.gz")
+    edge_feat = (_read_csv_gz(ef_path, np.float32)
+                 if os.path.exists(ef_path) else None)
+    label = _read_csv_gz(os.path.join(raw, "node-label.csv.gz"), np.float32)
+    if not (label != label.astype(np.int64)).any():
+        label = label.astype(np.int64)
+
+    if meta["inverse"]:
+        edge = np.concatenate([edge, edge[::-1]], axis=1)
+        if edge_feat is not None:
+            edge_feat = np.concatenate([edge_feat, edge_feat], axis=0)
+
+    ds = NodeDataset(name)
+    ds.graph = {"edge_index": edge, "node_feat": node_feat,
+                "edge_feat": edge_feat, "num_nodes": num_nodes}
+    if node_feat is None and edge_feat is not None:
+        # node feat = mean of incident edge feats (dataset.py:284-287)
+        nf = np.zeros((num_nodes, edge_feat.shape[1]), np.float64)
+        cnt = np.zeros(num_nodes, np.float64)
+        np.add.at(nf, edge[0], edge_feat.astype(np.float64))
+        np.add.at(cnt, edge[0], 1.0)
+        ds.graph["node_feat"] = (
+            nf / np.maximum(cnt[:, None], 1)).astype(np.float32)
+    ds.label = label.reshape(-1) if label.shape[-1] == 1 else label
+
+    split_dir = _need(os.path.join(root, "split", meta["split"]),
+                      f"{name} split directory")
+    ds._fixed_splits = {
+        k: _read_csv_gz(
+            os.path.join(split_dir, f"{k}.csv.gz"), np.int64).reshape(-1)
+        for k in ("train", "valid", "test")
+    }
+    for ex in meta["extras"]:
+        p = os.path.join(raw, f"{ex}.csv.gz")
+        setattr(ds, ex,
+                _read_csv_gz(p, np.int64).reshape(-1)
+                if os.path.exists(p) else None)
+
+    try:
+        np.savez_compressed(
+            cache,
+            edge_index=ds.graph["edge_index"],
+            node_feat=ds.graph["node_feat"],
+            edge_feat=(ds.graph["edge_feat"]
+                       if ds.graph["edge_feat"] is not None
+                       else np.zeros(0, np.float32)),
+            num_nodes=num_nodes, label=ds.label,
+            **{f"split_{k}": v for k, v in ds._fixed_splits.items()},
+            **{ex: getattr(ds, ex) for ex in meta["extras"]
+               if getattr(ds, ex) is not None},
+        )
+    except OSError:
+        pass  # read-only data dir: skip the cache
+    return ds
+
+
 def load_ogb(data_dir, name) -> NodeDataset:
+    """ogbn-* loader: raw csv.gz layout first, ogb package as fallback."""
+    root = os.path.join(data_dir, name.replace("-", "_"))
+    if name in _OGB_META and (
+        os.path.exists(os.path.join(root, "raw"))
+        or os.path.exists(os.path.join(root, "processed_difformer_tpu.npz"))
+    ):
+        return load_ogb_raw(data_dir, name)
     try:
         from ogb.nodeproppred import NodePropPredDataset
     except ImportError as e:
-        raise ImportError(
-            "ogb package not installed in this environment; ogbn-* datasets "
-            "need it (reference dataset.py:250-292). Use a synthetic stand-in."
+        raise FileNotFoundError(
+            f"{name}: no raw OGB layout under {root} and no ogb package. "
+            f"Unpack the dataset zip (raw/ + split/) there — this "
+            f"environment has no network access."
         ) from e
     d = NodePropPredDataset(name=name, root=data_dir)
     graph, label = d[0]
@@ -435,7 +564,6 @@ def load_ogb(data_dir, name) -> NodeDataset:
         "num_nodes": graph["num_nodes"],
     }
     if name == "ogbn-proteins" and ds.graph["node_feat"] is None:
-        # node feat = mean of incident edge feats (dataset.py:284-287)
         ef = ds.graph["edge_feat"]
         nf = np.zeros((ds.graph["num_nodes"], ef.shape[1]), np.float64)
         cnt = np.zeros(ds.graph["num_nodes"], np.float64)
@@ -453,12 +581,20 @@ def load_ogb(data_dir, name) -> NodeDataset:
 
 
 def load_arxiv_year(data_dir, nclass=5) -> NodeDataset:
+    """arxiv-year: ogbn-arxiv graph, label = ``even_quantile_labels`` over
+    node_year, random splits (reference dataset.py:326-340)."""
     ds = load_ogb(data_dir, "ogbn-arxiv")
-    # label = quantile bucket of node_year (dataset.py:326-335)
-    raise NotImplementedError(
-        "arxiv-year requires ogbn-arxiv node_year metadata; wire when ogb "
-        "data is present"
-    )
+    node_year = getattr(ds, "node_year", None)
+    if node_year is None:
+        raise FileNotFoundError(
+            "arxiv-year needs raw/node_year.csv.gz from the ogbn-arxiv zip"
+        )
+    ds.name = "arxiv-year"
+    ds.label = even_quantile_labels(
+        np.asarray(node_year).reshape(-1), nclass
+    ).astype(np.int64)
+    ds._fixed_splits = None  # random splits, like the reference
+    return ds
 
 
 # --------------------------------------------------------------------------
@@ -554,6 +690,8 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NodeDataset
         return load_twitch(data_dir, sub_dataset or "DE")
     if name.startswith("ogbn-"):
         return load_ogb(data_dir, name)
+    if name == "arxiv-year":
+        return load_arxiv_year(data_dir)
     if name in ("mini", "20news", "stl10", "cifar10"):
         return load_image_text(data_dir, name)
     raise ValueError(f"unknown dataset {name!r}")

@@ -181,3 +181,111 @@ def test_twitch_raw_format(tmp_path):
     ds = load_twitch(str(tmp_path), "DE")
     assert ds.graph["num_nodes"] == n
     assert ds.label.sum() == 5
+
+
+# --------------------------------------------------------------------------
+# OGB raw csv.gz layout (parsed without the ogb package)
+# --------------------------------------------------------------------------
+
+def _write_csv_gz(path, arr, fmt):
+    import gzip
+
+    with gzip.open(path, "wt") as f:
+        for row in np.atleast_2d(arr):
+            f.write(",".join(fmt % v for v in np.atleast_1d(row)) + "\n")
+
+
+def _fake_ogb(tmp_path, name, n=20, e=60, f=8, labels=None, node_feat=True,
+              edge_feat=False, extras=(), split="time"):
+    rng = np.random.default_rng(0)
+    root = tmp_path / name.replace("-", "_")
+    raw = root / "raw"
+    raw.mkdir(parents=True)
+    ei = rng.integers(0, n, (e, 2))
+    _write_csv_gz(raw / "edge.csv.gz", ei, "%d")
+    _write_csv_gz(raw / "num-node-list.csv.gz", np.array([[n]]), "%d")
+    _write_csv_gz(raw / "num-edge-list.csv.gz", np.array([[e]]), "%d")
+    if node_feat:
+        _write_csv_gz(raw / "node-feat.csv.gz",
+                      rng.normal(size=(n, f)), "%.6f")
+    if edge_feat:
+        _write_csv_gz(raw / "edge-feat.csv.gz",
+                      rng.uniform(size=(e, f)), "%.6f")
+    if labels is None:
+        labels = rng.integers(0, 4, (n, 1))
+    _write_csv_gz(raw / "node-label.csv.gz", labels, "%d")
+    for ex, vals in extras:
+        _write_csv_gz(raw / f"{ex}.csv.gz", vals.reshape(-1, 1), "%d")
+    sd = root / "split" / split
+    sd.mkdir(parents=True)
+    idx = rng.permutation(n)
+    for k, part in zip(("train", "valid", "test"),
+                       np.array_split(idx, 3)):
+        _write_csv_gz(sd / f"{k}.csv.gz", part.reshape(-1, 1), "%d")
+    return ei
+
+
+def test_ogb_raw_arxiv_layout(tmp_path):
+    from difformer_tpu.data.loaders import load_ogb_raw
+
+    years = np.random.default_rng(1).integers(2005, 2020, 20)
+    ei = _fake_ogb(tmp_path, "ogbn-arxiv",
+                   extras=[("node_year", years)], split="time")
+    ds = load_ogb_raw(str(tmp_path), "ogbn-arxiv")
+    assert ds.graph["num_nodes"] == 20
+    assert ds.graph["edge_index"].shape == (2, 60)
+    np.testing.assert_array_equal(ds.graph["edge_index"], ei.T)
+    assert ds.graph["node_feat"].shape == (20, 8)
+    assert ds.label.shape == (20,) and ds.label.dtype == np.int64
+    sp = ds.get_idx_split("fixed")
+    all_idx = np.sort(np.concatenate(
+        [sp["train"], sp["valid"], sp["test"]]))
+    np.testing.assert_array_equal(all_idx, np.arange(20))
+    np.testing.assert_array_equal(ds.node_year, years)
+    # second load comes from the npz cache and must be identical
+    assert (tmp_path / "ogbn_arxiv" / "processed_difformer_tpu.npz").exists()
+    ds2 = load_ogb_raw(str(tmp_path), "ogbn-arxiv")
+    np.testing.assert_array_equal(ds2.graph["edge_index"],
+                                  ds.graph["edge_index"])
+    np.testing.assert_array_equal(ds2.graph["node_feat"],
+                                  ds.graph["node_feat"])
+    np.testing.assert_array_equal(
+        ds2.get_idx_split("fixed")["test"], sp["test"])
+
+
+def test_ogb_raw_proteins_inverse_edges_and_edge_feat_means(tmp_path):
+    from difformer_tpu.data.loaders import load_dataset
+
+    labels = np.random.default_rng(2).integers(0, 2, (20, 5))
+    ei = _fake_ogb(tmp_path, "ogbn-proteins", labels=labels,
+                   node_feat=False, edge_feat=True,
+                   extras=[("node_species", np.arange(20))],
+                   split="species")
+    ds = load_dataset(str(tmp_path), "ogbn-proteins")
+    # inverse edges appended (ogb add_inverse_edge)
+    assert ds.graph["edge_index"].shape == (2, 120)
+    np.testing.assert_array_equal(ds.graph["edge_index"][:, :60], ei.T)
+    np.testing.assert_array_equal(ds.graph["edge_index"][0, 60:], ei.T[1])
+    # node feats = mean of incident edge feats over the symmetrized edges
+    ef = ds.graph["edge_feat"]
+    s = ds.graph["edge_index"][0]
+    node0 = ef[s == 0].mean(0)
+    np.testing.assert_allclose(ds.graph["node_feat"][0], node0, rtol=1e-5)
+    assert ds.label.shape == (20, 5)  # multilabel stays 2-D
+
+
+def test_arxiv_year_quantile_labels(tmp_path):
+    from difformer_tpu.data.loaders import load_dataset
+
+    years = np.random.default_rng(3).integers(2000, 2020, 20)
+    _fake_ogb(tmp_path, "ogbn-arxiv",
+              extras=[("node_year", years)], split="time")
+    ds = load_dataset(str(tmp_path), "arxiv-year")
+    assert ds.name == "arxiv-year"
+    assert set(np.unique(ds.label)) <= set(range(5))
+    # quantile buckets are monotone in year
+    for k in range(4):
+        assert years[ds.label == k].max() <= years[ds.label == k + 1].min()
+    # random splits (no fixed split carried over from arxiv)
+    sp = ds.get_idx_split()
+    assert len(sp["train"]) + len(sp["valid"]) + len(sp["test"]) <= 20
