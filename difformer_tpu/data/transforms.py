@@ -212,3 +212,81 @@ def radius_graph(pos, r, *, loop=True, max_num_neighbors=None):
         keep = np.concatenate(keep)
         src, dst = src[keep], dst[keep]
     return np.stack([src, dst], axis=0)
+
+
+def locality_reorder(edge_index, num_nodes, method="rcm"):
+    """Node permutation that clusters connected nodes into nearby ids.
+
+    TPU SpMM is HBM-gather-bound (see BENCH_NOTES.md): random 128–256 B row
+    gathers achieve a small fraction of streaming bandwidth. Renumbering
+    nodes so neighbors sit close in memory turns those gathers into
+    near-sequential accesses. The reference has no equivalent — its CUDA
+    SpMM tolerates random access better — so this is a TPU-first
+    preprocessing stage, applied once on the host.
+
+    method='rcm'    reverse Cuthill–McKee over the symmetrized adjacency
+                    (scipy.sparse.csgraph), the classic bandwidth-minimizer.
+    method='bfs'    plain BFS order from the max-degree node (no scipy).
+    method='degree' sort by degree (groups hubs; helps ELL bucketing).
+
+    Returns ``perm`` with ``new_id = perm[old_id]``; apply with
+    :func:`permute_graph`.
+    """
+    ei = np.asarray(edge_index)
+    if method == "rcm":
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        a = sp.coo_matrix(
+            (np.ones(ei.shape[1], np.float32), (ei[0], ei[1])),
+            shape=(num_nodes, num_nodes),
+        ).tocsr()
+        a = a + a.T
+        order = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
+    elif method == "bfs":
+        deg = np.bincount(ei[0], minlength=num_nodes)
+        adj_r, adj_c = ei[0], ei[1]
+        srt = np.argsort(adj_r, kind="stable")
+        adj_r, adj_c = adj_r[srt], adj_c[srt]
+        starts = np.searchsorted(adj_r, np.arange(num_nodes + 1))
+        seen = np.zeros(num_nodes, bool)
+        order = np.empty(num_nodes, np.int64)
+        pos = 0
+        for root in np.argsort(-deg):
+            if seen[root]:
+                continue
+            seen[root] = True
+            order[pos] = root
+            pos += 1
+            head = pos - 1
+            while head < pos:
+                u = order[head]
+                head += 1
+                nbrs = adj_c[starts[u]:starts[u + 1]]
+                new = nbrs[~seen[nbrs]]
+                if new.size:
+                    new = np.unique(new)
+                    seen[new] = True
+                    order[pos:pos + new.size] = new
+                    pos += new.size
+        order = order[:pos]
+        rest = np.flatnonzero(~seen)
+        order = np.concatenate([order, rest])
+    elif method == "degree":
+        deg = np.bincount(ei[1], minlength=num_nodes)
+        order = np.argsort(-deg, kind="stable")
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+    perm = np.empty(num_nodes, np.int64)
+    perm[order] = np.arange(num_nodes)
+    return perm
+
+
+def permute_graph(perm, edge_index, *arrays):
+    """Apply a node permutation: relabel edges and reorder node-indexed
+    arrays (features, labels, masks). Returns ``(edge_index, *arrays)``."""
+    perm = np.asarray(perm)
+    ei = perm[np.asarray(edge_index)]
+    inv = np.argsort(perm)
+    out = tuple(np.asarray(a)[inv] for a in arrays)
+    return (ei,) + out

@@ -1,0 +1,182 @@
+"""Block-sparse (BSR) hybrid SpMM — the MXU path for clustered graphs.
+
+Measured on TPU v5e (scripts/bench_gather_locality.py): row gathers cost
+~3.7 ns/row + bytes/30 GB/s **regardless of index locality** — the per-edge
+gather ELL path (ops/ell.py) is therefore a hard floor of ~8 ns/edge for
+128 B rows. But adjacency *tiles* that hold enough edges can instead be
+materialized as dense ``[T, T]`` blocks and multiplied on the MXU:
+
+  * the ``x`` operand is fetched per *tile* (``T·D`` ≈ 32 KB) — a wide
+    gather that streams at full HBM bandwidth instead of paying the
+    per-row toll;
+  * the block values stream sequentially;
+  * the reduction is a batched matmul — pure MXU, no scatter.
+
+Host preprocessing splits edges by tile occupancy: tiles with
+``count ≥ min_edges`` (from the measured cost model) become dense blocks in
+a **tile-level ELL** layout (``[Nt, Kb]`` block-columns per block-row, so
+the forward pass is scatter-free); the long tail of sparse tiles stays on
+the per-edge ELL path. On community-structured graphs (optionally after
+:func:`difformer_tpu.data.transforms.locality_reorder`) most edges land in
+dense blocks; on a uniform-random graph nothing qualifies and this degrades
+gracefully to plain ELL.
+
+Replaces torch_sparse CUDA SpMM (reference ``difformer.py:75-77``) like
+ops/ell.py, but with a layout chosen for the MXU rather than the gather
+engine. Backward uses a transpose-direction build (custom VJP), so the
+whole train step stays scatter-free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from difformer_tpu.ops.ell import (
+    EllGraph,
+    _build_direction,
+    _ell_matvec,
+    _gcn_values,
+)
+
+# measured gather cost per edge expressed as streaming-equivalent bytes:
+# ~8 ns/edge at ~800 GB/s HBM  →  ~6.5 KB/edge (BENCH_NOTES.md cost model)
+_EDGE_EQUIV_BYTES = 6500.0
+
+
+def default_min_edges(tile: int, feat_bytes: int = 128) -> int:
+    """Edges a tile must hold before the dense-block path beats per-edge
+    gathers: block bytes (A tile + x tile fetch) / gather-equivalent bytes."""
+    block_bytes = tile * tile * 4 + tile * feat_bytes
+    return max(8, int(block_bytes / _EDGE_EQUIV_BYTES) + 1)
+
+
+@struct.dataclass
+class BsrDirection:
+    """One direction (owner ← point_to) of the hybrid operator."""
+
+    blocks: Any                  # f32 [Nt, Kb, T, T]; zero on padding
+    block_col: Any               # int32 [Nt, Kb] col-tile ids; 0 on padding
+    residual: Optional[EllGraph]  # sparse-tile edges (per-edge ELL path)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    tile: int = struct.field(pytree_node=False, default=256)
+
+    @property
+    def n_blocks(self):
+        return int(np.prod(self.block_col.shape))
+
+
+def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
+                         min_edges, block_dtype=np.float32):
+    """out[owner] = Σ values · x[point_to], owner-tiled."""
+    nt = -(-num_nodes // tile)
+    tr = owner // tile
+    tc = point_to // tile
+    key = tr.astype(np.int64) * nt + tc
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    dense_mask_u = counts >= min_edges
+    dense_edge = dense_mask_u[inv]
+
+    # ---- dense part: tile-level ELL --------------------------------------
+    dkeys = uniq[dense_mask_u]
+    dtr = (dkeys // nt).astype(np.int64)
+    dtc = (dkeys % nt).astype(np.int64)
+    per_row = np.bincount(dtr, minlength=nt)
+    kb = int(per_row.max()) if dkeys.size else 0
+    block_col = np.zeros((nt, max(kb, 1)), np.int32)
+    blocks = np.zeros((nt, max(kb, 1), tile, tile), block_dtype)
+    if dkeys.size:
+        # slot of each dense tile within its block-row (dkeys sorted by tr)
+        row_start = np.zeros(nt + 1, np.int64)
+        np.add.at(row_start, dtr + 1, 1)
+        row_start = np.cumsum(row_start)
+        slot = np.arange(dkeys.size) - row_start[dtr]
+        block_col[dtr, slot] = dtc.astype(np.int32)
+        # map each dense edge to its (block-row, slot) and fill values
+        slot_of_key = np.zeros(uniq.size, np.int64)
+        slot_of_key[dense_mask_u] = slot
+        e = dense_edge
+        np.add.at(blocks,
+                  (tr[e], slot_of_key[inv[e]],
+                   owner[e] % tile, point_to[e] % tile),
+                  values[e])
+
+    # ---- residual part: per-edge ELL -------------------------------------
+    r = ~dense_edge
+    residual = None
+    if r.any():
+        residual = _build_direction(point_to[r], owner[r], values[r],
+                                    num_nodes)
+    return BsrDirection(
+        blocks=jnp.asarray(blocks),
+        block_col=jnp.asarray(block_col),
+        residual=residual,
+        num_nodes=num_nodes,
+        tile=tile,
+    )
+
+
+def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
+                  tile=256, min_edges=None, verbose=False):
+    """Build forward/reverse hybrid operators with reference-parity GCN
+    normalization (``difformer.py:66-74``). Returns ``(fwd, rev)`` for
+    :func:`bsr_spmm`."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if min_edges is None:
+        min_edges = default_min_edges(tile)
+    val = _gcn_values(senders, receivers, num_nodes, edge_weight)
+    fwd = _build_bsr_direction(senders, receivers, val, num_nodes,
+                               tile=tile, min_edges=min_edges)
+    rev = _build_bsr_direction(receivers, senders, val, num_nodes,
+                               tile=tile, min_edges=min_edges)
+    if verbose:
+        for name, d in (("fwd", fwd), ("rev", rev)):
+            res = d.residual
+            res_e = (sum(int(i.shape[0] * i.shape[1]) for i in res.nbr_idx)
+                     if res is not None else 0)
+            print(f"# bsr[{name}]: tiles={d.block_col.shape} "
+                  f"({d.blocks.nbytes / 1e6:.0f} MB), residual ELL slots "
+                  f"≈{res_e}", flush=True)
+    return fwd, rev
+
+
+def _bsr_matvec(d: BsrDirection, x):
+    trailing = x.shape[1:]
+    nt, t = d.block_col.shape[0], d.tile
+    pad = nt * t - d.num_nodes
+    xt = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    xt = xt.reshape((nt, t) + trailing)
+    g = jnp.take(xt, d.block_col.reshape(-1), axis=0)
+    g = g.reshape((nt, d.block_col.shape[1], t) + trailing)
+    out = jnp.einsum("nkrc,nkc...->nr...", d.blocks.astype(x.dtype), g)
+    out = out.reshape((nt * t,) + trailing)[: d.num_nodes]
+    if d.residual is not None:
+        out = out + _ell_matvec(d.residual, x)
+    return out
+
+
+@jax.custom_vjp
+def bsr_spmm(fwd: BsrDirection, rev: BsrDirection, x):
+    """Â @ x via the hybrid dense-block + residual-ELL operator; backward
+    applies the reverse-direction operator (scatter-free throughout)."""
+    return _bsr_matvec(fwd, x)
+
+
+def _spmm_fwd(fwd, rev, x):
+    return _bsr_matvec(fwd, x), (fwd, rev)
+
+
+def _spmm_bwd(res, g):
+    fwd, rev = res
+    dx = _bsr_matvec(rev, g)
+    zero = lambda d: jax.tree_util.tree_map(jnp.zeros_like, d)
+    return zero(fwd), zero(rev), dx
+
+
+bsr_spmm.defvjp(_spmm_fwd, _spmm_bwd)

@@ -178,7 +178,12 @@ def _spmm_bwd(res, g):
 ell_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def gcn_conv_ell(x, ell_fwd: EllGraph, ell_rev: EllGraph):
-    """Drop-in for ``ops.graph_ops.gcn_conv`` given prebuilt ELL graphs.
-    x: [N, ...] (heads/channels in trailing dims)."""
+def gcn_conv_ell(x, ell_fwd, ell_rev):
+    """Drop-in for ``ops.graph_ops.gcn_conv`` given prebuilt scatter-free
+    operators — degree-bucketed :class:`EllGraph` pairs or the block-sparse
+    hybrid (``ops/bsr.py``). x: [N, ...] (heads/channels in trailing dims)."""
+    if hasattr(ell_fwd, "blocks"):
+        from difformer_tpu.ops.bsr import bsr_spmm
+
+        return bsr_spmm(ell_fwd, ell_rev, x)
     return ell_spmm(ell_fwd, ell_rev, x)

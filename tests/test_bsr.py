@@ -1,0 +1,134 @@
+"""Block-sparse hybrid SpMM (ops/bsr.py) vs the reference gcn_conv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difformer_tpu.ops.bsr import build_bsr_gcn, bsr_spmm, default_min_edges
+from difformer_tpu.ops.graph_ops import gcn_conv
+
+
+def _clustered(n, tile, seed=0, p_in=0.5, n_cross=200):
+    rng = np.random.default_rng(seed)
+    blocks = []
+    for c in range(n // tile):
+        m = rng.uniform(size=(tile, tile)) < p_in
+        r, co = np.nonzero(m)
+        blocks.append(np.stack([co + c * tile, r + c * tile]))
+    ei = np.concatenate(blocks, axis=1)
+    cross = rng.integers(0, n, (2, n_cross))
+    return np.concatenate([ei, cross], axis=1)
+
+
+def _ref(x, ei, n):
+    order = np.argsort(ei[1], kind="stable")
+    return gcn_conv(jnp.asarray(x), jnp.asarray(ei[0][order], jnp.int32),
+                    jnp.asarray(ei[1][order], jnp.int32),
+                    indices_are_sorted=True)
+
+
+@pytest.mark.parametrize("trailing", [(16,), (2, 8)])
+def test_bsr_matches_gcn_conv_clustered(trailing):
+    n, tile = 256, 64
+    ei = _clustered(n, tile)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n,) + trailing).astype(np.float32)
+    fwd, rev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+    assert fwd.residual is not None  # cross edges stay sparse
+    out = bsr_spmm(fwd, rev, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ei, n)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_all_residual_on_sparse_graph():
+    # uniform sparse graph: nothing qualifies for dense blocks
+    n = 1024
+    rng = np.random.default_rng(2)
+    ei = rng.integers(0, n, (2, 512))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_gcn(ei[0], ei[1], n, tile=64)  # default min_edges
+    assert float(jnp.abs(fwd.blocks).sum()) == 0.0
+    out = bsr_spmm(fwd, rev, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ei, n)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_all_dense_no_residual():
+    n, tile = 128, 64
+    ei = _clustered(n, tile, p_in=0.9, n_cross=0)
+    x = np.random.default_rng(3).normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=4)
+    assert fwd.residual is None
+    out = bsr_spmm(fwd, rev, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ei, n)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_duplicate_edges_accumulate():
+    n, tile = 64, 32
+    ei = np.array([[1, 1, 1, 2], [0, 0, 0, 0]])
+    ei = np.concatenate([ei, _clustered(n, tile, p_in=0.8, n_cross=0)], 1)
+    x = np.random.default_rng(4).normal(size=(n, 4)).astype(np.float32)
+    fwd, rev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=2)
+    out = bsr_spmm(fwd, rev, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ei, n)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_grad_matches_gcn_conv():
+    n, tile = 192, 64
+    ei = _clustered(n, tile, p_in=0.4, n_cross=150)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    g = rng.normal(size=(n, 12)).astype(np.float32)
+    fwd, rev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+
+    def f_bsr(x):
+        return jnp.vdot(bsr_spmm(fwd, rev, x), jnp.asarray(g))
+
+    order = np.argsort(ei[1], kind="stable")
+    s = jnp.asarray(ei[0][order], jnp.int32)
+    r = jnp.asarray(ei[1][order], jnp.int32)
+
+    def f_ref(x):
+        return jnp.vdot(
+            gcn_conv(x, s, r, indices_are_sorted=True), jnp.asarray(g))
+
+    gx = jax.grad(f_bsr)(jnp.asarray(x))
+    gref = jax.grad(f_ref)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_under_jit_and_model():
+    """BSR operators pass through jit as pytrees and plug into DIFFormer
+    via the same ell= hook."""
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.ops.ell import build_ell_gcn
+
+    n, tile = 256, 64
+    ei = _clustered(n, tile, p_in=0.3, n_cross=100)
+    order = np.argsort(ei[1], kind="stable")
+    s, r = ei[0][order].astype(np.int32), ei[1][order].astype(np.int32)
+    x = np.random.default_rng(6).normal(size=(n, 16)).astype(np.float32)
+    model = DIFFormer(hidden_channels=16, out_channels=3, num_layers=2,
+                      kernel="simple")
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(s), jnp.asarray(r), train=False)
+
+    @jax.jit
+    def fwd(v, x, hybrid):
+        return model.apply(v, x, jnp.asarray(s), jnp.asarray(r),
+                           train=False, indices_are_sorted=True, ell=hybrid)
+
+    hybrid = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+    ell = build_ell_gcn(ei[0], ei[1], n)
+    out_b = fwd(variables, jnp.asarray(x), hybrid)
+    out_e = fwd(variables, jnp.asarray(x), ell)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_e),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_default_min_edges_cost_model():
+    assert default_min_edges(256) > default_min_edges(64) >= 8

@@ -123,3 +123,85 @@ def test_spmm_matches_dense(rng):
         jnp.asarray(x),
     )
     np.testing.assert_allclose(got, dense @ x, rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# locality reordering (TPU gather-locality preprocessing)
+# --------------------------------------------------------------------------
+
+def _clustered_graph(n_clusters=16, size=32, p_in=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    n = n_clusters * size
+    blocks = []
+    for c in range(n_clusters):
+        m = rng.uniform(size=(size, size)) < p_in
+        r, co = np.nonzero(m)
+        blocks.append(np.stack([r + c * size, co + c * size]))
+    ei = np.concatenate(blocks, axis=1)
+    # sprinkle a few cross-cluster edges
+    extra = rng.integers(0, n, (2, n // 4))
+    ei = np.concatenate([ei, extra], axis=1)
+    # scramble node ids so the natural order has no locality
+    scram = rng.permutation(n)
+    return scram[ei], n
+
+
+def _bandwidth(ei):
+    # median, not mean: a few long-range cross-cluster edges are expected
+    return float(np.median(np.abs(ei[0] - ei[1])))
+
+
+@pytest.mark.parametrize("method", ["rcm", "bfs", "degree"])
+def test_locality_reorder_is_permutation(method):
+    from difformer_tpu.data.transforms import locality_reorder
+
+    ei, n = _clustered_graph()
+    perm = locality_reorder(ei, n, method=method)
+    assert np.array_equal(np.sort(perm), np.arange(n))
+
+
+def test_rcm_reduces_gather_distance():
+    from difformer_tpu.data.transforms import locality_reorder, permute_graph
+
+    ei, n = _clustered_graph()
+    perm = locality_reorder(ei, n, method="rcm")
+    (ei2,) = permute_graph(perm, ei)
+    assert _bandwidth(ei2) < 0.25 * _bandwidth(ei)
+
+
+def test_permute_graph_model_equivariance():
+    """Forward on the reordered graph == permuted forward on the original —
+    the reorder is purely a memory-layout change."""
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.data.transforms import (
+        locality_reorder, permute_graph, standard_preprocess)
+    from difformer_tpu.nn import DIFFormer
+
+    ei, n = _clustered_graph(n_clusters=4, size=16)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    ei = standard_preprocess(ei, n)
+
+    model = DIFFormer(hidden_channels=16, out_channels=3, num_layers=2,
+                      num_heads=2, kernel="simple")
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(ei[0], jnp.int32),
+                           jnp.asarray(ei[1], jnp.int32), train=False)
+
+    def fwd(x, ei):
+        s, r = ei
+        order = np.argsort(r, kind="stable")
+        return np.asarray(model.apply(
+            variables, jnp.asarray(x),
+            jnp.asarray(s[order], jnp.int32),
+            jnp.asarray(r[order], jnp.int32),
+            train=False, indices_are_sorted=True))
+
+    out = fwd(x, ei)
+    perm = locality_reorder(ei, n, method="rcm")
+    ei2, x2 = permute_graph(perm, ei, x)
+    out2 = fwd(x2, ei2)
+    inv = np.argsort(perm)
+    np.testing.assert_allclose(out2, out[inv], rtol=2e-4, atol=2e-5)
