@@ -32,11 +32,26 @@ import numpy as np
 NAIVE_EDGES_PER_S = 27.9e6
 
 
-def build_graph(n, e, f, seed=0):
+def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
+    """kind='uniform': i.i.d. endpoints — the locality worst case.
+    kind='clustered': stochastic block model (communities of ``comm`` nodes
+    holding ``intra`` of the edges) — the shape of real protein/social
+    graphs (ogbn-proteins' 8 species clusters), and the case the
+    block-sparse SpMM path (ops/bsr.py) is built for."""
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(n, f)).astype(np.float32)
-    senders = rng.integers(0, n, e).astype(np.int32)
-    receivers = rng.integers(0, n, e).astype(np.int32)
+    if kind == "clustered":
+        e_in = int(e * intra)
+        c = rng.integers(0, n // comm, e_in)
+        senders = np.concatenate(
+            [c * comm + rng.integers(0, comm, e_in),
+             rng.integers(0, n, e - e_in)]).astype(np.int32)
+        receivers = np.concatenate(
+            [(c * comm + rng.integers(0, comm, e_in)),
+             rng.integers(0, n, e - e_in)]).astype(np.int32)
+    else:
+        senders = rng.integers(0, n, e).astype(np.int32)
+        receivers = rng.integers(0, n, e).astype(np.int32)
     order = np.argsort(receivers, kind="stable")
     return x, senders[order], receivers[order], senders, receivers
 
@@ -67,12 +82,13 @@ def main():
     C = 112
     LAYERS = 3
     STEPS = int(os.environ.get("BENCH_STEPS", 8))
-    IMPL = os.environ.get("BENCH_IMPL", "ell")      # ell | coo
+    IMPL = os.environ.get("BENCH_IMPL", "ell")      # ell | bsr | coo
     DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | ''(f32)
+    GRAPH = os.environ.get("BENCH_GRAPH", "uniform")  # uniform | clustered
 
-    print(f"# bench: N={N} E={E} steps={STEPS} backend={jax.default_backend()}",
-          file=sys.stderr, flush=True)
-    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(N, E, F)
+    print(f"# bench: N={N} E={E} steps={STEPS} graph={GRAPH} impl={IMPL} "
+          f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(N, E, F, kind=GRAPH)
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
@@ -92,6 +108,17 @@ def main():
         ell = build_ell_gcn(s_sorted, r_sorted, N)
         print(f"# ELL built in {_t.perf_counter() - t0:.1f}s "
               f"buckets={ell[0].bucket_sizes}", file=sys.stderr, flush=True)
+    elif IMPL == "bsr":
+        import time as _t
+
+        t0 = _t.perf_counter()
+        from difformer_tpu.ops.bsr import build_bsr_gcn
+
+        ell = build_bsr_gcn(s_sorted, r_sorted, N,
+                            tile=int(os.environ.get("BENCH_TILE", 256)),
+                            verbose=True)
+        print(f"# BSR built in {_t.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     def make_multi_step(senders, receivers, sorted_, use_ell=True):
         s = jnp.asarray(senders)
@@ -164,7 +191,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "n_nodes": N, "n_edges": E, "layers": LAYERS, "hidden": 64,
-            "impl": IMPL, "dtype": DTYPE or "float32",
+            "impl": IMPL, "dtype": DTYPE or "float32", "graph": GRAPH,
             "step_ms": round(t_fast * 1e3, 2),
             "backend": jax.default_backend(),
         },

@@ -107,24 +107,40 @@ def run_node_task(cfg: Config):
         ei = ds.graph["edge_index"]
     ei = standard_preprocess(ei, n)  # main.py:72-76
 
+    perm = None
+    if cfg.reorder:
+        # TPU-first preprocessing: renumber nodes for gather locality /
+        # BSR block density (data/transforms.locality_reorder)
+        from difformer_tpu.data.transforms import (
+            locality_reorder, permute_graph)
+
+        perm = locality_reorder(ei, n, method=cfg.reorder)
+        ei, x, label = permute_graph(perm, ei, x, label)
+
     loss = "bce" if cfg.dataset in BCE_DATASETS else "nll"
     model = parse_method(cfg, n, n_classes)
     logger = RunLogger(cfg.runs)
 
     def split_for(run):
         if cfg.rand_split_class:
-            return ds.get_idx_split("class",
-                                    label_num_per_class=cfg.label_num_per_class,
-                                    rng=run)
-        if cfg.rand_split:
-            return ds.get_idx_split("random", cfg.train_prop, cfg.valid_prop,
-                                    rng=run)
-        try:
-            fixed = ds.get_idx_split("fixed")
-            return fixed[run % len(fixed)] if isinstance(fixed, list) else fixed
-        except ValueError:
-            return ds.get_idx_split("random", cfg.train_prop, cfg.valid_prop,
-                                    rng=run)
+            split = ds.get_idx_split(
+                "class", label_num_per_class=cfg.label_num_per_class, rng=run)
+        elif cfg.rand_split:
+            split = ds.get_idx_split("random", cfg.train_prop,
+                                     cfg.valid_prop, rng=run)
+        else:
+            try:
+                fixed = ds.get_idx_split("fixed")
+                split = (fixed[run % len(fixed)]
+                         if isinstance(fixed, list) else fixed)
+            except ValueError:
+                split = ds.get_idx_split("random", cfg.train_prop,
+                                         cfg.valid_prop, rng=run)
+        if perm is not None:
+            # split indices are in original numbering; map through the
+            # locality permutation
+            split = {k: perm[np.asarray(v)] for k, v in split.items()}
+        return split
 
     if cfg.n_shards > 1:
         # node-sharded distributed training over a device mesh
@@ -162,11 +178,18 @@ def run_node_task(cfg: Config):
     else:
         graph = GraphData.from_numpy(x, ei)
         ell = None
-        if cfg.use_ell and cfg.method == "difformer" and cfg.use_graph:
-            from difformer_tpu.ops.ell import build_ell_gcn
-
+        spmm = cfg.spmm or ("ell" if cfg.use_ell else "coo")
+        if spmm != "coo" and cfg.method == "difformer" and cfg.use_graph:
             g_sorted = np.asarray(graph.senders), np.asarray(graph.receivers)
-            ell = build_ell_gcn(g_sorted[0], g_sorted[1], n)
+            if spmm == "bsr":
+                from difformer_tpu.ops.bsr import build_bsr_gcn
+
+                ell = build_bsr_gcn(g_sorted[0], g_sorted[1], n,
+                                    tile=cfg.bsr_tile)
+            else:
+                from difformer_tpu.ops.ell import build_ell_gcn
+
+                ell = build_ell_gcn(g_sorted[0], g_sorted[1], n)
         trainer = FullBatchTrainer(
             model, graph, label, lr=cfg.lr, weight_decay=cfg.weight_decay,
             loss=loss, metric=cfg.metric, seed=cfg.seed,

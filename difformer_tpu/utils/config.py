@@ -91,6 +91,11 @@ class Config:
     # execution
     n_shards: int = 1               # >1 → node-sharded training over a mesh
     use_ell: bool = True            # scatter-free ELL SpMM for the GCN branch
+    spmm: str = ""                  # '' (use_ell) | coo | ell | bsr (MXU
+    #                                 block-sparse hybrid, ops/bsr.py)
+    bsr_tile: int = 256
+    reorder: str = ""               # '' | rcm | bfs | degree node reordering
+    #                                 for gather locality / BSR block density
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -54,3 +54,17 @@ def test_golden_fixed_seed_accuracy():
         "123", "--dropout", "0.0", "--display_step", "100",
     ])
     assert res[0]["test"] >= 0.9, res
+
+
+def test_cli_reorder_and_bsr_spmm():
+    """--reorder rcm + --spmm bsr: locality renumbering plus the MXU
+    block-sparse hybrid reach the same training quality as default ELL."""
+    common = ["--dataset", "synthetic-300-2400-8-3", "--epochs", "20",
+              "--runs", "1", "--rand_split", "true", "--hidden_channels",
+              "8", "--dropout", "0.0", "--display_step", "100",
+              "--seed", "7"]
+    base = main(common)
+    res = main(common + ["--reorder", "rcm", "--spmm", "bsr",
+                         "--bsr_tile", "64"])
+    assert res[0]["test"] > 0.4
+    assert abs(res[0]["test"] - base[0]["test"]) < 0.25
