@@ -70,29 +70,31 @@ class BsrDirection:
         return int(np.prod(self.block_col.shape))
 
 
-def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
-                         min_edges, block_dtype=np.float32):
-    """out[owner] = Σ values · x[point_to], owner-tiled."""
-    nt = -(-num_nodes // tile)
+def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
+                 min_edges, block_dtype=np.float32):
+    """Select tiles with ≥min_edges edges and materialize them as a
+    tile-level ELL: returns ``(blocks [Ntr,Kb,T,T], block_col [Ntr,Kb],
+    dense_edge_mask [E])``."""
+    ntr = -(-num_rows // tile)
+    ntc = -(-num_cols // tile)
     tr = owner // tile
     tc = point_to // tile
-    key = tr.astype(np.int64) * nt + tc
+    key = tr.astype(np.int64) * ntc + tc
     uniq, inv, counts = np.unique(key, return_inverse=True,
                                   return_counts=True)
     dense_mask_u = counts >= min_edges
     dense_edge = dense_mask_u[inv]
 
-    # ---- dense part: tile-level ELL --------------------------------------
     dkeys = uniq[dense_mask_u]
-    dtr = (dkeys // nt).astype(np.int64)
-    dtc = (dkeys % nt).astype(np.int64)
-    per_row = np.bincount(dtr, minlength=nt)
+    dtr = (dkeys // ntc).astype(np.int64)
+    dtc = (dkeys % ntc).astype(np.int64)
+    per_row = np.bincount(dtr, minlength=ntr)
     kb = int(per_row.max()) if dkeys.size else 0
-    block_col = np.zeros((nt, max(kb, 1)), np.int32)
-    blocks = np.zeros((nt, max(kb, 1), tile, tile), block_dtype)
+    block_col = np.zeros((ntr, max(kb, 1)), np.int32)
+    blocks = np.zeros((ntr, max(kb, 1), tile, tile), block_dtype)
     if dkeys.size:
         # slot of each dense tile within its block-row (dkeys sorted by tr)
-        row_start = np.zeros(nt + 1, np.int64)
+        row_start = np.zeros(ntr + 1, np.int64)
         np.add.at(row_start, dtr + 1, 1)
         row_start = np.cumsum(row_start)
         slot = np.arange(dkeys.size) - row_start[dtr]
@@ -105,6 +107,15 @@ def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
                   (tr[e], slot_of_key[inv[e]],
                    owner[e] % tile, point_to[e] % tile),
                   values[e])
+    return blocks, block_col, dense_edge
+
+
+def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
+                         min_edges, block_dtype=np.float32):
+    """out[owner] = Σ values · x[point_to], owner-tiled."""
+    blocks, block_col, dense_edge = _dense_tiles(
+        point_to, owner, values, num_nodes, num_nodes,
+        tile=tile, min_edges=min_edges, block_dtype=block_dtype)
 
     # ---- residual part: per-edge ELL -------------------------------------
     r = ~dense_edge
@@ -180,3 +191,137 @@ def _spmm_bwd(res, g):
 
 
 bsr_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Node-sharded hybrid: block rows partitioned across a mesh axis
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class BsrShard:
+    """Per-device slice of one direction: this shard owns ``num_rows``
+    output rows; ``block_col``/``res_point`` index the *global* (padded)
+    node space, so the operand arrives via one tiled ``all_gather`` over
+    the mesh axis (the graph analog of sequence-parallel attention,
+    SURVEY.md §2.6). All leaves have identical shapes across shards, as
+    shard_map requires."""
+
+    blocks: Any       # f32 [Ntr_loc, Kb, T, T]
+    block_col: Any    # int32 [Ntr_loc, Kb] global col-tile ids
+    res_point: Any    # int32 [Er] global sender ids (0 on padding)
+    res_owner: Any    # int32 [Er] local receiver ids, sorted (0 on padding)
+    res_val: Any      # f32 [Er] (0 on padding)
+    num_rows: int = struct.field(pytree_node=False, default=0)
+    num_cols: int = struct.field(pytree_node=False, default=0)
+    tile: int = struct.field(pytree_node=False, default=256)
+    axis_name: str = struct.field(pytree_node=False, default="graph")
+
+
+def build_bsr_gcn_sharded(senders, receivers, num_nodes, n_shards, *,
+                          tile=256, min_edges=None, edge_weight=None,
+                          axis_name="graph"):
+    """Partition the hybrid operator into ``n_shards`` row slices.
+
+    Returns ``(fwd, rev, rows_per_shard)`` where fwd/rev are
+    :class:`BsrShard` pytrees whose leaves carry a leading ``n_shards``
+    axis — pass through ``shard_map`` with ``P('graph')`` in_specs and call
+    :func:`bsr_spmm_sharded` inside. Nodes are padded to
+    ``n_shards · rows_per_shard`` (rows_per_shard is tile-aligned);
+    features must be sharded with the same padding
+    (``x_padded.reshape(n_shards, rows_per, F)``).
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if min_edges is None:
+        min_edges = default_min_edges(tile)
+    val = _gcn_values(senders, receivers, num_nodes, edge_weight)
+
+    rows_per = -(-num_nodes // (n_shards * tile)) * tile
+    pad_n = rows_per * n_shards
+
+    def build_dir(point_to, owner):
+        shards, n_res = [], []
+        for s in range(n_shards):
+            m = (owner // rows_per) == s
+            blocks, block_col, dense_edge = _dense_tiles(
+                point_to[m], owner[m] - s * rows_per, val[m],
+                rows_per, pad_n, tile=tile, min_edges=min_edges)
+            r = ~dense_edge
+            shards.append((blocks, block_col, point_to[m][r],
+                           (owner[m] - s * rows_per)[r], val[m][r]))
+            n_res.append(int(r.sum()))
+        kb = max(sh[1].shape[1] for sh in shards)
+        er = max(max(n_res), 1)
+        out = []
+        for blocks, block_col, rp, ro, rv in shards:
+            pk = kb - block_col.shape[1]
+            if pk:
+                blocks = np.pad(blocks, ((0, 0), (0, pk), (0, 0), (0, 0)))
+                block_col = np.pad(block_col, ((0, 0), (0, pk)))
+            order = np.argsort(ro, kind="stable")
+            rp, ro, rv = rp[order], ro[order], rv[order]
+            pe = er - rp.shape[0]
+            rp = np.pad(rp.astype(np.int32), (0, pe))
+            ro = np.pad(ro.astype(np.int32), (0, pe),
+                        constant_values=rows_per - 1)
+            rv = np.pad(rv.astype(np.float32), (0, pe))
+            out.append((blocks, block_col, rp, ro, rv))
+        stack = [np.stack([o[i] for o in out]) for i in range(5)]
+        return BsrShard(
+            blocks=jnp.asarray(stack[0]), block_col=jnp.asarray(stack[1]),
+            res_point=jnp.asarray(stack[2]), res_owner=jnp.asarray(stack[3]),
+            res_val=jnp.asarray(stack[4]),
+            num_rows=rows_per, num_cols=pad_n, tile=tile,
+            axis_name=axis_name,
+        )
+
+    fwd = build_dir(senders, receivers)
+    rev = build_dir(receivers, senders)
+    return fwd, rev, rows_per
+
+
+def _bsr_shard_apply(d: BsrShard, x_full):
+    """Apply this shard's rows to the gathered global operand."""
+    trailing = x_full.shape[1:]
+    t = d.tile
+    ntc = d.num_cols // t
+    kb = d.block_col.shape[1]
+    xt = x_full.reshape((ntc, t) + trailing)
+    g = jnp.take(xt, d.block_col.reshape(-1), axis=0)
+    g = g.reshape((d.num_rows // t, kb, t) + trailing)
+    out = jnp.einsum("nkrc,nkc...->nr...", d.blocks.astype(x_full.dtype), g)
+    out = out.reshape((d.num_rows,) + trailing)
+    # residual: wide-row gather + sorted local segment-sum
+    from difformer_tpu.ops.segment import segment_sum
+
+    gre = jnp.take(x_full, d.res_point, axis=0)
+    wv = d.res_val.reshape((-1,) + (1,) * len(trailing)).astype(x_full.dtype)
+    out = out + segment_sum(gre * wv, d.res_owner, d.num_rows,
+                            indices_are_sorted=True)
+    return out
+
+
+@jax.custom_vjp
+def bsr_spmm_sharded(fwd: BsrShard, rev: BsrShard, x):
+    """Distributed Â @ x: one tiled all_gather of the operand over the mesh
+    axis (named by ``fwd.axis_name``), then local MXU blocks + local
+    residual. x: [rows_per, ...] local; returns local rows. Backward
+    all_gathers the cotangent and applies the reverse-direction shard —
+    scatter-free across devices."""
+    x_full = jax.lax.all_gather(x, fwd.axis_name, axis=0, tiled=True)
+    return _bsr_shard_apply(fwd, x_full)
+
+
+def _sh_fwd(fwd, rev, x):
+    return bsr_spmm_sharded(fwd, rev, x), (fwd, rev)
+
+
+def _sh_bwd(res, g):
+    fwd, rev = res
+    g_full = jax.lax.all_gather(g, rev.axis_name, axis=0, tiled=True)
+    dx = _bsr_shard_apply(rev, g_full)
+    zero = lambda d: jax.tree_util.tree_map(jnp.zeros_like, d)
+    return zero(fwd), zero(rev), dx
+
+
+bsr_spmm_sharded.defvjp(_sh_fwd, _sh_bwd)
