@@ -132,3 +132,92 @@ def test_bsr_under_jit_and_model():
 
 def test_default_min_edges_cost_model():
     assert default_min_edges(256) > default_min_edges(64) >= 8
+
+
+# --------------------------------------------------------------------------
+# node-sharded hybrid (8 virtual devices)
+# --------------------------------------------------------------------------
+
+def _shard_harness():
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("graph",))
+    return mesh, shard_map, P
+
+
+def test_bsr_sharded_matches_single_device():
+    from difformer_tpu.ops.bsr import (
+        build_bsr_gcn, build_bsr_gcn_sharded, bsr_spmm, bsr_spmm_sharded)
+
+    n, tile, n_shards = 512, 32, 8
+    ei = _clustered(n, 64, p_in=0.25, n_cross=300)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    fwd, rev, rows_per = build_bsr_gcn_sharded(ei[0], ei[1], n, n_shards,
+                                               tile=tile, min_edges=6)
+    pad_n = rows_per * n_shards
+    xp = np.zeros((pad_n, 16), np.float32)
+    xp[:n] = x
+
+    mesh, shard_map, P = _shard_harness()
+
+    @jax.jit
+    def dist(fwd, rev, xp):
+        def body(fwd, rev, xp):
+            # operator trees are stacked [S, ...] (→ [1, ...] per shard);
+            # node features are flat [pad_n, F] (→ [rows_per, F] per shard)
+            sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+            return bsr_spmm_sharded(sq(fwd), sq(rev), xp)
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("graph"), P("graph"), P("graph")),
+            out_specs=P("graph"))
+        return f(fwd, rev, xp)
+
+    out = np.asarray(dist(fwd, rev, jnp.asarray(xp)))[:n]
+
+    sfwd, srev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=6)
+    ref = np.asarray(bsr_spmm(sfwd, srev, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_sharded_grad_matches():
+    from difformer_tpu.ops.bsr import (
+        build_bsr_gcn, build_bsr_gcn_sharded, bsr_spmm, bsr_spmm_sharded)
+
+    n, tile, n_shards = 256, 16, 8
+    ei = _clustered(n, 32, p_in=0.4, n_cross=120)
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    g = rng.normal(size=(n, 8)).astype(np.float32)
+
+    fwd, rev, rows_per = build_bsr_gcn_sharded(ei[0], ei[1], n, n_shards,
+                                               tile=tile, min_edges=4)
+    pad_n = rows_per * n_shards
+    xp = np.zeros((pad_n, 8), np.float32); xp[:n] = x
+    gp = np.zeros((pad_n, 8), np.float32); gp[:n] = g
+
+    mesh, shard_map, P = _shard_harness()
+
+    @jax.jit
+    def dist_grad(fwd, rev, xp, gp):
+        def local(fwd, rev, xp, gp):
+            sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+            fwd, rev = sq(fwd), sq(rev)
+            y, pull = jax.vjp(
+                lambda x: bsr_spmm_sharded(fwd, rev, x), xp)
+            return pull(gp)[0]
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P("graph"),) * 4,
+            out_specs=P("graph"))(fwd, rev, xp, gp)
+
+    dx = np.asarray(dist_grad(fwd, rev, jnp.asarray(xp), jnp.asarray(gp)))[:n]
+
+    sfwd, srev = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=4)
+    _, pull = jax.vjp(lambda x: bsr_spmm(sfwd, srev, x), jnp.asarray(x))
+    dref = np.asarray(pull(jnp.asarray(g))[0])
+    np.testing.assert_allclose(dx, dref, rtol=1e-4, atol=1e-5)
