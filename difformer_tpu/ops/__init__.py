@@ -17,3 +17,14 @@ from difformer_tpu.ops.sigmoid_attention import (  # noqa: F401
     sigmoid_attention,
     sigmoid_attention_dense,
 )
+from difformer_tpu.ops.ell import (  # noqa: F401
+    build_ell_gcn,
+    ell_spmm,
+    gcn_conv_ell,
+)
+from difformer_tpu.ops.bsr import (  # noqa: F401
+    build_bsr_gcn,
+    build_bsr_gcn_sharded,
+    bsr_spmm,
+    bsr_spmm_sharded,
+)
