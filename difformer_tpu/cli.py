@@ -158,6 +158,8 @@ def run_node_task(cfg: Config):
                 mesh=make_mesh((cfg.n_shards,), ("graph",)),
                 lr=cfg.lr, weight_decay=cfg.weight_decay, loss=loss,
                 metric=cfg.metric, seed=cfg.seed,
+                spmm=(cfg.spmm if cfg.spmm == "bsr" else "halo"),
+                bsr_tile=cfg.bsr_tile,
             )
             r = trainer.fit(split, epochs=cfg.epochs, runs=1,
                             eval_step=cfg.eval_step, logger=logger,

@@ -182,6 +182,10 @@ def gcn_conv_ell(x, ell_fwd, ell_rev):
     """Drop-in for ``ops.graph_ops.gcn_conv`` given prebuilt scatter-free
     operators — degree-bucketed :class:`EllGraph` pairs or the block-sparse
     hybrid (``ops/bsr.py``). x: [N, ...] (heads/channels in trailing dims)."""
+    if hasattr(ell_fwd, "res_point"):
+        from difformer_tpu.ops.bsr import bsr_spmm_sharded
+
+        return bsr_spmm_sharded(ell_fwd, ell_rev, x)
     if hasattr(ell_fwd, "blocks"):
         from difformer_tpu.ops.bsr import bsr_spmm
 

@@ -42,13 +42,13 @@ def shard_graph_to_mesh(sg: ShardedGraph, mesh: Mesh, axis: str = GRAPH_AXIS):
     return jax.tree_util.tree_map(put, sg)
 
 
-def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
+def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
     """Build ``fn(params, sharded_graph, rng=None, train=False) -> logits``
     running under shard_map. ``model`` must be constructed with
     ``axis_name=axis``. Returns logits stacked [S, N_loc, C]."""
 
     def body(params, x, node_mask, senders, receivers, edge_mask, edge_weight,
-             halo, rng, train):
+             halo, ell_op, rng, train):
         # shard_map slices the stacked [S, ...] arrays to [1, ...]; squeeze
         x, node_mask = x[0], node_mask[0]
         senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
@@ -56,6 +56,8 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             edge_weight = edge_weight[0]
         if halo is not None:
             halo = jax.tree_util.tree_map(lambda t: t[0], halo)
+        if ell_op is not None:
+            ell_op = jax.tree_util.tree_map(lambda t: t[0], ell_op)
         rngs = None
         if rng is not None:
             # fold in the shard index for decorrelated dropout
@@ -75,6 +77,7 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             train=train,
             rngs=rngs,
             halo=halo,
+            ell=ell_op,
         )
 
     def apply_fn(params, sg: ShardedGraph, rng=None, train=False):
@@ -90,6 +93,8 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
             P() if ew is None else P(axis),
             P() if halo is None
             else jax.tree_util.tree_map(lambda _: P(axis), halo),
+            P() if ell is None
+            else jax.tree_util.tree_map(lambda _: P(axis), ell),
             P(),            # rng
         )
         f = jax.shard_map(
@@ -100,7 +105,7 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS):
         )
         return f(
             params, sg.node_feat, sg.node_mask, senders, sg.receivers,
-            sg.edge_mask, ew, halo, rng,
+            sg.edge_mask, ew, halo, ell, rng,
         )
 
     return apply_fn
@@ -124,7 +129,7 @@ def _senders_and_halo(sg: ShardedGraph):
 
 
 def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
-                            axis: str = GRAPH_AXIS):
+                            axis: str = GRAPH_AXIS, ell=None):
     """Jitted distributed train step over a ShardedGraph.
 
     loss_fn(logits_local, labels_local, mask_local) -> (sum_loss, count) so
@@ -132,7 +137,7 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
     """
 
     def body(params, opt_state, x, node_mask, senders, receivers, edge_mask,
-             edge_weight, halo, labels, label_mask, rng):
+             edge_weight, halo, ell_op, labels, label_mask, rng):
         x, node_mask = x[0], node_mask[0]
         senders, receivers, edge_mask = senders[0], receivers[0], edge_mask[0]
         labels, label_mask = labels[0], label_mask[0]
@@ -140,6 +145,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             edge_weight = edge_weight[0]
         if halo is not None:
             halo = jax.tree_util.tree_map(lambda t: t[0], halo)
+        if ell_op is not None:
+            ell_op = jax.tree_util.tree_map(lambda t: t[0], ell_op)
 
         def local_loss(p):
             rngs = {
@@ -148,7 +155,7 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             out = model.apply(
                 {"params": p}, x, senders, receivers, edge_weight,
                 node_mask=node_mask, edge_mask=edge_mask, train=True,
-                rngs=rngs, halo=halo,
+                rngs=rngs, halo=halo, ell=ell_op,
             )
             s, c = loss_fn(out, labels, label_mask)
             return jax.lax.psum(s, axis) / jnp.maximum(
@@ -171,6 +178,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             P() if ew is None else P(axis),
             P() if halo is None
             else jax.tree_util.tree_map(lambda _: P(axis), halo),
+            P() if ell is None
+            else jax.tree_util.tree_map(lambda _: P(axis), ell),
             P(axis), P(axis), P(),
         )
         f = jax.shard_map(
@@ -179,8 +188,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
         )
         return f(
             params, opt_state, sg.node_feat, sg.node_mask, senders,
-            sg.receivers, sg.edge_mask, ew, halo, sg.labels, sg.label_mask,
-            rng,
+            sg.receivers, sg.edge_mask, ew, halo, ell, sg.labels,
+            sg.label_mask, rng,
         )
 
     return jax.jit(step, donate_argnums=(0, 1))

@@ -71,6 +71,7 @@ def partition_graph(
     label_mask: Optional[np.ndarray] = None,
     edge_pad_multiple: int = 128,
     build_halo: bool = False,
+    node_align: int = 1,
 ) -> ShardedGraph:
     """Contiguous node partition + receiver-owned edge partition.
 
@@ -83,6 +84,7 @@ def partition_graph(
     boundary exchange over ICI)."""
     n = int(node_feat.shape[0])
     n_loc = -(-n // n_shards)  # ceil
+    n_loc = -(-n_loc // node_align) * node_align  # e.g. BSR tile alignment
     n_pad = n_loc * n_shards
 
     x = np.zeros((n_pad,) + node_feat.shape[1:], dtype=np.float32)

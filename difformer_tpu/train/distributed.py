@@ -48,7 +48,8 @@ class DistributedTrainer:
 
     def __init__(self, model, init_model, node_feat, edge_index, labels, *,
                  train_mask, mesh=None, lr=1e-2, weight_decay=5e-4,
-                 loss="nll", metric="acc", seed=123):
+                 loss="nll", metric="acc", seed=123, spmm="halo",
+                 bsr_tile=256):
         self.mesh = mesh or make_mesh()
         n_shards = int(np.prod(self.mesh.devices.shape))
         labels_np = np.asarray(labels)
@@ -66,11 +67,30 @@ class DistributedTrainer:
                 if labels_np.ndim > 1 else labels_np
             ).astype(np.int32)
 
-        self.sg = partition_graph(
-            np.asarray(node_feat, np.float32), np.asarray(edge_index),
-            n_shards, labels=labels_for_train, label_mask=train_mask,
-            build_halo=True,   # boundary-only exchange with comm overlap
-        )
+        ell = None
+        if spmm == "bsr":
+            # block-sparse MXU hybrid (ops/bsr.py): dense adjacency tiles as
+            # batched matmuls after one tiled all_gather; per-edge COO tail
+            from difformer_tpu.ops.bsr import build_bsr_gcn_sharded
+
+            self.sg = partition_graph(
+                np.asarray(node_feat, np.float32), np.asarray(edge_index),
+                n_shards, labels=labels_for_train, label_mask=train_mask,
+                build_halo=False, node_align=bsr_tile,
+            )
+            ei = np.asarray(edge_index)
+            fwd, rev, rows_per = build_bsr_gcn_sharded(
+                ei[0], ei[1], int(np.asarray(node_feat).shape[0]), n_shards,
+                tile=bsr_tile)
+            assert rows_per == self.sg.nodes_per_shard, (
+                rows_per, self.sg.nodes_per_shard)
+            ell = (fwd, rev)
+        else:
+            self.sg = partition_graph(
+                np.asarray(node_feat, np.float32), np.asarray(edge_index),
+                n_shards, labels=labels_for_train, label_mask=train_mask,
+                build_halo=True,   # boundary-only exchange with comm overlap
+            )
         self.model = model
         self.init_model = init_model
         self.metric_fn = METRICS[metric]
@@ -78,8 +98,8 @@ class DistributedTrainer:
         self.seed = seed
         loss_fn = _nll_sum if loss == "nll" else _bce_sum
         self._step = make_sharded_train_step(model, self.mesh, self.tx,
-                                             loss_fn)
-        apply_fn = sharded_apply(model, self.mesh)
+                                             loss_fn, ell=ell)
+        apply_fn = sharded_apply(model, self.mesh, ell=ell)
         # jit ONCE (a fresh lambda per eval would retrace every epoch)
         self._apply = jax.jit(lambda p, g: apply_fn(p, g))
         self._x0 = np.asarray(node_feat, np.float32)

@@ -26,3 +26,34 @@ def test_distributed_trainer_learns():
                             train_mask=train_mask, lr=1e-2, loss="nll")
     res = tr.fit(split, epochs=40, runs=1, eval_step=5)
     assert res[0]["test"] > 0.5, res
+
+
+def test_distributed_trainer_bsr_matches_halo():
+    """spmm='bsr' (sharded block-sparse hybrid) trains to the same quality
+    as the default halo path and its eval logits agree given equal params."""
+    n, c = 256, 3
+    x, ei, y = random_graph(n, 2000, 10, c, seed=22, homophily=0.9)
+    ei = standard_preprocess(ei, n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    train_mask = idx_to_mask(split["train"], n)
+
+    model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                      dropout=0.0, axis_name="graph")
+    init_model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                           dropout=0.0)
+    tr_halo = DistributedTrainer(model, init_model, x, ei, y,
+                                 train_mask=train_mask, lr=1e-2, loss="nll")
+    tr_bsr = DistributedTrainer(model, init_model, x, ei, y,
+                                train_mask=train_mask, lr=1e-2, loss="nll",
+                                spmm="bsr", bsr_tile=16)
+
+    # identical params → identical logits (up to fp reassociation)
+    params, _ = tr_halo.init_state(0)
+    out_h = np.asarray(tr_halo._apply(params, tr_halo.sg))
+    out_b = np.asarray(tr_bsr._apply(params, tr_bsr.sg))
+    out_h = out_h.reshape(-1, c)[:n]
+    out_b = out_b.reshape(-1, c)[:n]
+    np.testing.assert_allclose(out_b, out_h, rtol=2e-4, atol=2e-5)
+
+    res = tr_bsr.fit(split, epochs=40, runs=1, eval_step=5)
+    assert res[0]["test"] > 0.5, res
