@@ -124,9 +124,20 @@ def main():
         t0 = _t.perf_counter()
         from difformer_tpu.ops.bsr import build_bsr_gcn
 
+        import jax.numpy as _jnp
+
+        rk = (dict(min_bucket=4, bucket_factor=2)
+              if os.environ.get("BENCH_RES_TIGHT") == "1" else None)
+        bd = (_jnp.bfloat16 if os.environ.get("BENCH_BLOCK_BF16") == "1"
+              else None)
+        kw = {}
+        if rk:
+            kw["residual_kwargs"] = rk
+        if bd is not None:
+            kw["block_dtype"] = bd
         ell = build_bsr_gcn(s_sorted, r_sorted, N,
                             tile=int(os.environ.get("BENCH_TILE", 256)),
-                            verbose=True)
+                            verbose=True, **kw)
         print(f"# BSR built in {_t.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 

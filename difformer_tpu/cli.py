@@ -183,6 +183,12 @@ def run_node_task(cfg: Config):
         spmm = cfg.spmm or ("ell" if cfg.use_ell else "coo")
         if spmm != "coo" and cfg.method == "difformer" and cfg.use_graph:
             g_sorted = np.asarray(graph.senders), np.asarray(graph.receivers)
+            if spmm == "auto":
+                from difformer_tpu.ops.bsr import choose_spmm
+
+                spmm, cov = choose_spmm(g_sorted[0], g_sorted[1], n,
+                                        tile=cfg.bsr_tile)
+                print(f"spmm=auto: dense-tile coverage {cov:.2f} -> {spmm}")
             if spmm == "bsr":
                 from difformer_tpu.ops.bsr import build_bsr_gcn
 

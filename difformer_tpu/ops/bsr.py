@@ -111,7 +111,8 @@ def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
 
 
 def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
-                         min_edges, block_dtype=np.float32):
+                         min_edges, block_dtype=np.float32,
+                         residual_kwargs=None):
     """out[owner] = Σ values · x[point_to], owner-tiled."""
     blocks, block_col, dense_edge = _dense_tiles(
         point_to, owner, values, num_nodes, num_nodes,
@@ -122,7 +123,7 @@ def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
     residual = None
     if r.any():
         residual = _build_direction(point_to[r], owner[r], values[r],
-                                    num_nodes)
+                                    num_nodes, **(residual_kwargs or {}))
     return BsrDirection(
         blocks=jnp.asarray(blocks),
         block_col=jnp.asarray(block_col),
@@ -133,19 +134,32 @@ def _build_bsr_direction(point_to, owner, values, num_nodes, *, tile,
 
 
 def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
-                  tile=256, min_edges=None, verbose=False):
+                  tile=256, min_edges=None, verbose=False,
+                  block_dtype=np.float32, residual_kwargs=None):
     """Build forward/reverse hybrid operators with reference-parity GCN
     normalization (``difformer.py:66-74``). Returns ``(fwd, rev)`` for
-    :func:`bsr_spmm`."""
+    :func:`bsr_spmm`.
+
+    ``block_dtype``: storage dtype of the dense tiles (np.float32 default;
+    ``jnp.bfloat16`` halves the block stream — GCN weights are O(0.01-1)
+    so bf16's 8-bit mantissa costs ~1e-2 relative error on the branch).
+    ``residual_kwargs``: forwarded to the residual ELL build (e.g.
+    ``dict(min_bucket=4, bucket_factor=2)`` to cut padding waste on the
+    low-degree sparse tail)."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     if min_edges is None:
         min_edges = default_min_edges(tile)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
     fwd = _build_bsr_direction(senders, receivers, val, num_nodes,
-                               tile=tile, min_edges=min_edges)
+                               tile=tile, min_edges=min_edges,
+                               residual_kwargs=residual_kwargs)
     rev = _build_bsr_direction(receivers, senders, val, num_nodes,
-                               tile=tile, min_edges=min_edges)
+                               tile=tile, min_edges=min_edges,
+                               residual_kwargs=residual_kwargs)
+    if block_dtype is not np.float32:
+        fwd = fwd.replace(blocks=fwd.blocks.astype(block_dtype))
+        rev = rev.replace(blocks=rev.blocks.astype(block_dtype))
     if verbose:
         for name, d in (("fwd", fwd), ("rev", rev)):
             res = d.residual
@@ -325,3 +339,28 @@ def _sh_bwd(res, g):
 
 
 bsr_spmm_sharded.defvjp(_sh_fwd, _sh_bwd)
+
+
+def dense_coverage(senders, receivers, num_nodes, *, tile=256,
+                   min_edges=None):
+    """Fraction of edges that would land in dense tiles — cheap host-side
+    probe (unique+counts only) for auto-selecting the SpMM implementation:
+    community graphs score high, uniform-random graphs ~0."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if senders.size == 0:
+        return 0.0
+    if min_edges is None:
+        min_edges = default_min_edges(tile)
+    nt = -(-num_nodes // tile)
+    key = (receivers // tile).astype(np.int64) * nt + senders // tile
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    return float((counts[inv] >= min_edges).mean())
+
+
+def choose_spmm(senders, receivers, num_nodes, *, tile=256,
+                coverage_threshold=0.3):
+    """'bsr' when enough of the graph is tile-dense to pay for the blocks,
+    else 'ell'."""
+    cov = dense_coverage(senders, receivers, num_nodes, tile=tile)
+    return ("bsr" if cov >= coverage_threshold else "ell"), cov

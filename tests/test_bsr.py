@@ -221,3 +221,18 @@ def test_bsr_sharded_grad_matches():
     _, pull = jax.vjp(lambda x: bsr_spmm(sfwd, srev, x), jnp.asarray(x))
     dref = np.asarray(pull(jnp.asarray(g))[0])
     np.testing.assert_allclose(dx, dref, rtol=1e-4, atol=1e-5)
+
+
+def test_choose_spmm_auto():
+    from difformer_tpu.ops.bsr import choose_spmm, dense_coverage
+
+    rng = np.random.default_rng(9)
+    # uniform sparse → ell
+    ei_u = rng.integers(0, 4096, (2, 8192))
+    impl, cov = choose_spmm(ei_u[0], ei_u[1], 4096, tile=64)
+    assert impl == "ell" and cov < 0.05
+    # clustered → bsr
+    ei_c = _clustered(512, 64, p_in=0.5, n_cross=100)
+    impl, cov = choose_spmm(ei_c[0], ei_c[1], 512, tile=64)
+    assert impl == "bsr" and cov > 0.8
+    assert dense_coverage(np.zeros(0, int), np.zeros(0, int), 16) == 0.0
