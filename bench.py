@@ -126,15 +126,11 @@ def main():
 
         import jax.numpy as _jnp
 
-        rk = (dict(min_bucket=4, bucket_factor=2)
-              if os.environ.get("BENCH_RES_TIGHT") == "1" else None)
-        bd = (_jnp.bfloat16 if os.environ.get("BENCH_BLOCK_BF16") == "1"
-              else None)
         kw = {}
-        if rk:
-            kw["residual_kwargs"] = rk
-        if bd is not None:
-            kw["block_dtype"] = bd
+        if os.environ.get("BENCH_BLOCK_BF16", "1") == "1":
+            kw["block_dtype"] = _jnp.bfloat16  # same step time, half HBM
+        if os.environ.get("BENCH_RES_TIGHT") == "0":
+            kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
         ell = build_bsr_gcn(s_sorted, r_sorted, N,
                             tile=int(os.environ.get("BENCH_TILE", 256)),
                             verbose=True, **kw)

@@ -143,13 +143,17 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
     ``block_dtype``: storage dtype of the dense tiles (np.float32 default;
     ``jnp.bfloat16`` halves the block stream — GCN weights are O(0.01-1)
     so bf16's 8-bit mantissa costs ~1e-2 relative error on the branch).
-    ``residual_kwargs``: forwarded to the residual ELL build (e.g.
-    ``dict(min_bucket=4, bucket_factor=2)`` to cut padding waste on the
-    low-degree sparse tail)."""
+    ``residual_kwargs``: forwarded to the residual ELL build; defaults to
+    tight bucketing (``min_bucket=4, bucket_factor=2``) — the sparse tail
+    is low-degree so padding waste, not compile time, dominates there
+    (measured: 1.65M → 1.12M slots, 39.2 → 31.6 ms/step on the SBM
+    bench graph)."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     if min_edges is None:
         min_edges = default_min_edges(tile)
+    if residual_kwargs is None:
+        residual_kwargs = dict(min_bucket=4, bucket_factor=2)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
     fwd = _build_bsr_direction(senders, receivers, val, num_nodes,
                                tile=tile, min_edges=min_edges,
