@@ -228,7 +228,15 @@ class FullBatchTrainer:
         verbose: bool = False,
         display_step: int = 50,
         save_best: bool = False,
+        ckpt_dir: str = "",
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ):
+        """``ckpt_dir`` + ``checkpoint_every=N`` writes a full training
+        checkpoint (params, optimizer state, rng, best-val scalar) every N
+        epochs via orbax; ``resume=True`` restarts from the latest one and
+        continues the exact rng stream — the periodic-checkpoint/
+        deterministic-resume pair the reference lacks (SURVEY.md §5)."""
         n = self.graph.num_nodes
         train_mask = jnp.asarray(idx_to_mask(split_idx["train"], n))
         summaries = []
@@ -237,7 +245,22 @@ class FullBatchTrainer:
             rng = jax.random.PRNGKey(1000 + self.seed + run)
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
             best_params = None
-            for epoch in range(epochs):
+            start_epoch = 0
+            mgr = None
+            if ckpt_dir and checkpoint_every > 0:
+                from difformer_tpu.train.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(f"{ckpt_dir}/run{run}")
+                last = mgr.latest_step() if resume else None
+                if last is not None:
+                    restored = mgr.restore(last, {
+                        "state": state, "rng": rng,
+                        "best_valid": np.array(0.0, np.float32),
+                    })
+                    state, rng = restored["state"], restored["rng"]
+                    best["valid"] = float(restored["best_valid"])
+                    start_epoch = last + 1
+            for epoch in range(start_epoch, epochs):
                 rng, step_rng = jax.random.split(rng)
                 state, loss = self.train_step(state, step_rng, train_mask)
                 if epoch % eval_step == 0 or epoch == epochs - 1:
@@ -258,6 +281,14 @@ class FullBatchTrainer:
                             f"train {res['train']:.4f} valid {res['valid']:.4f} "
                             f"test {res['test']:.4f}"
                         )
+                if mgr is not None and (epoch + 1) % checkpoint_every == 0:
+                    mgr.save(epoch, {
+                        "state": jax.tree_util.tree_map(np.asarray, state),
+                        "rng": np.asarray(rng),
+                        "best_valid": np.array(best["valid"], np.float32),
+                    })
+            if mgr is not None:
+                mgr.close()  # flush async orbax writes
             if save_best:
                 best["params"] = best_params
             summaries.append(best)
