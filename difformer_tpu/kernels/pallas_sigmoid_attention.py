@@ -3,10 +3,23 @@
 Replaces the O(N²)-memory reference path (``node classification/
 difformer.py:45-56``) with a tiled MXU kernel: for each (head, q-block) the
 key/value blocks stream through VMEM; the [BQ, BK] sigmoid score tile lives
-only in registers/VMEM; numerator [BQ, D] and denominator [BQ, 1]
-accumulate in f32 scratch that persists across the k-grid. No max-shift is
-needed (sigmoid is bounded), so the kernel is a pure two-matmul pipeline per
-tile — both matmuls hit the MXU.
+only in registers/VMEM; a fused [BQ, D+1] accumulator persists across the
+k-grid in f32 scratch. No max-shift is needed (sigmoid is bounded), so the
+kernel is a pure two-matmul pipeline per tile — both matmuls hit the MXU.
+
+The op is VPU-bound on TPU (the N² sigmoid evaluations dominate; the two
+matmuls are ~10% of the roofline), so the kernel keeps per-pair VPU work to
+the sigmoid alone:
+
+  * the denominator rides the MXU as a **ones-column appended to V** — for
+    D < 128 the extra lane is free (the MXU pads lanes to 128 anyway), and
+    because the column is appended *before* zero-padding keys to the block
+    multiple, padded keys drop out of the denominator exactly, with no mask
+    multiply;
+  * the [BQ, BK] mask multiply only exists when the caller passes a real
+    key mask (padded batches);
+  * scores cross the second matmul in the *input* dtype (bf16 inputs →
+    full-rate bf16×bf16 MXU with f32 accumulation).
 
 Forward is Pallas; the backward pass reuses the blockwise XLA recompute path
 (`ops.sigmoid_attention._blocked_bwd`) via custom_vjp, sharing residuals
@@ -27,40 +40,48 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, den_ref, num_scr, den_scr):
+def _fwd_kernel(*refs, apply_mask, d_out):
+    if apply_mask:
+        q_ref, k_ref, v_ref, m_ref, o_ref, den_ref, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, den_ref, acc_scr = refs
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        num_scr[...] = jnp.zeros_like(num_scr)
-        den_scr[...] = jnp.zeros_like(den_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]                       # [BQ, M]
     k = k_ref[0]                       # [BK, M]
-    v = v_ref[0]                       # [BK, D]
+    v = v_ref[0]                       # [BK, D+1] (last col: ones ⇒ denom)
     s = jax.nn.sigmoid(
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     )                                   # [BQ, BK]
-    s = s * m_ref[0][None, :]
-    num_scr[...] += jnp.dot(s, v.astype(jnp.float32),
+    if apply_mask:
+        s = s * m_ref[0][None, :]
+    # scores cross the MXU in the *input* dtype (bf16 inputs → bf16×bf16
+    # matmul at full MXU rate, f32 accumulate — the native mode); f32
+    # inputs keep an exact f32 product.
+    acc_scr[...] += jnp.dot(s.astype(v.dtype), v,
                             preferred_element_type=jnp.float32)
-    den_scr[...] += jnp.sum(s, axis=1, keepdims=True)
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
-        o_ref[0] = (num_scr[...] / den_scr[...]).astype(o_ref.dtype)
-        den_ref[0] = den_scr[...].astype(den_ref.dtype)
+        den = acc_scr[:, d_out:d_out + 1]
+        o_ref[0] = (acc_scr[:, :d_out] / den).astype(o_ref.dtype)
+        den_ref[0] = den.astype(den_ref.dtype)
 
 
 def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
                                        block_k=512, interpret=False):
-    """qs [N,H,M], ks [L,H,M], vs [L,H,D], key_mask [L] → out [N,H,D],
-    den [N,H]."""
+    """qs [N,H,M], ks [L,H,M], vs [L,H,D], key_mask [L] or None →
+    out [N,H,D], den [N,H]."""
     N, H, M = qs.shape
     L, _, D = vs.shape
+    apply_mask = key_mask is not None
 
     bq = min(block_q, _round_up(N, 8))
     bk = min(block_k, _round_up(L, 8))
@@ -68,25 +89,34 @@ def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
 
     qT = jnp.moveaxis(qs, 1, 0)          # [H, N, M]
     kT = jnp.moveaxis(ks, 1, 0)
-    vT = jnp.moveaxis(vs, 1, 0)
+    # ones-column BEFORE zero-padding keys: padded rows contribute exactly 0
+    # to both numerator (v rows are 0) and denominator (ones column is 0).
+    vT = jnp.concatenate(
+        [jnp.moveaxis(vs, 1, 0), jnp.ones((H, L, 1), vs.dtype)], axis=-1)
     if Np != N:
         qT = jnp.pad(qT, ((0, 0), (0, Np - N), (0, 0)))
     if Lp != L:
         kT = jnp.pad(kT, ((0, 0), (0, Lp - L), (0, 0)))
         vT = jnp.pad(vT, ((0, 0), (0, Lp - L), (0, 0)))
-        key_mask = jnp.pad(key_mask, (0, Lp - L))
-    mask2 = key_mask.astype(jnp.float32).reshape(1, Lp)
 
     grid = (H, Np // bq, Lp // bk)
+    in_specs = [
+        pl.BlockSpec((1, bq, M), lambda h, i, j: (h, i, 0)),
+        pl.BlockSpec((1, bk, M), lambda h, i, j: (h, j, 0)),
+        pl.BlockSpec((1, bk, D + 1), lambda h, i, j: (h, j, 0)),
+    ]
+    operands = [qT, kT, vT]
+    if apply_mask:
+        mask2 = key_mask.astype(jnp.float32).reshape(1, L)
+        if Lp != L:
+            mask2 = jnp.pad(mask2, ((0, 0), (0, Lp - L)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda h, i, j: (0, j)))
+        operands.append(mask2)
+
     out, den = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, apply_mask=apply_mask, d_out=D),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, M), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, bk, M), lambda h, i, j: (h, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda h, i, j: (h, j, 0)),
-            pl.BlockSpec((1, bk), lambda h, i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda h, i, j: (h, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0)),
@@ -96,11 +126,10 @@ def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
             jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, D), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D + 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qT, kT, vT, mask2)
+    )(*operands)
 
     out = jnp.moveaxis(out[:, :N, :], 0, 1)          # [N, H, D]
     den = jnp.moveaxis(den[:, :N, 0], 0, 1)          # [N, H]
@@ -124,6 +153,10 @@ def _bwd(interpret, residuals, g):
     from difformer_tpu.ops.sigmoid_attention import _blocked_bwd
 
     qs, ks, vs, key_mask, out, den = residuals
+    if key_mask is None:
+        km = jnp.ones((ks.shape[0],), jnp.float32)
+    else:
+        km = key_mask
     L = ks.shape[0]
     block = min(1024, _round_up(L, 128))
     Lp = _round_up(L, block)
@@ -131,19 +164,23 @@ def _bwd(interpret, residuals, g):
         pad = [(0, Lp - L)]
         ks_p = jnp.pad(ks, pad + [(0, 0), (0, 0)])
         vs_p = jnp.pad(vs, pad + [(0, 0), (0, 0)])
-        km_p = jnp.pad(key_mask, (0, Lp - L))
+        km_p = jnp.pad(km, (0, Lp - L))
     else:
-        ks_p, vs_p, km_p = ks, vs, key_mask
+        ks_p, vs_p, km_p = ks, vs, km
     dq, dk, dv, dm = _blocked_bwd(
         block, (qs, ks_p, vs_p, km_p, out, den), g
     )
-    return dq, dk[:L], dv[:L], jnp.zeros_like(key_mask)
+    d_mask = None if key_mask is None else jnp.zeros_like(key_mask)
+    return dq, dk[:L], dv[:L], d_mask
 
 
 _sigmoid_attention_pallas.defvjp(_fwd, _bwd)
 
 
-def sigmoid_attention_pallas(qs, ks, vs, key_mask, *, interpret=False):
-    """Public entry: [N,H,M] × [L,H,M] × [L,H,D] (+ key mask [L]) → [N,H,D]."""
-    return _sigmoid_attention_pallas(qs, ks, vs,
-                                     key_mask.astype(jnp.float32), interpret)
+def sigmoid_attention_pallas(qs, ks, vs, key_mask=None, *, interpret=False):
+    """Public entry: [N,H,M] × [L,H,M] × [L,H,D] (+ optional key mask [L])
+    → [N,H,D]. Pass ``key_mask=None`` (not an all-ones array) when every key
+    is real — the kernel then skips the N² mask multiply entirely."""
+    if key_mask is not None:
+        key_mask = key_mask.astype(jnp.float32)
+    return _sigmoid_attention_pallas(qs, ks, vs, key_mask, interpret)

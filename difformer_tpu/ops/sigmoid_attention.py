@@ -124,11 +124,6 @@ def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
     Pallas TPU kernel on/off (default: auto — on for TPU backends with large N).
     """
     L = ks.shape[0]
-    if key_mask is None:
-        key_mask = jnp.ones((L,), dtype=jnp.float32)
-    else:
-        key_mask = key_mask.astype(jnp.float32)
-
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and L >= 4096 and qs.shape[0] >= 4096
@@ -138,7 +133,13 @@ def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
             sigmoid_attention_pallas,
         )
 
+        # None (not all-ones) lets the kernel skip the N² mask multiply
         return sigmoid_attention_pallas(qs, ks, vs, key_mask)
+
+    if key_mask is None:
+        key_mask = jnp.ones((L,), dtype=jnp.float32)
+    else:
+        key_mask = key_mask.astype(jnp.float32)
 
     block = min(block_size, _round_up(L, 128))
     Lp = _round_up(L, block)

@@ -127,25 +127,41 @@ def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
     against one rotating key/value shard; ``ppermute`` moves shards around
     the ring (ICI neighbor exchange), overlapping naturally under XLA's
     latency-hiding scheduler.
+
+    Like the Pallas flash kernel, the denominator rides the MXU as a
+    ones-column appended to V (the op is VPU-bound: the N²/S sigmoids per
+    step dominate), and the mask multiply only exists when a real
+    ``key_mask`` is passed.
     """
-    if key_mask is None:
-        key_mask = jnp.ones((ks.shape[0],), jnp.float32)
-    key_mask = key_mask.astype(jnp.float32)
+    use_mask = key_mask is not None
+    if use_mask:
+        key_mask = key_mask.astype(jnp.float32)
     n_shards = _axis_size(axis_name)
+    d_out = vs.shape[2]
+    # ones column: Σ_l s_l rides the second matmul as output column d_out
+    vs = jnp.concatenate(
+        [vs, jnp.ones(vs.shape[:2] + (1,), vs.dtype)], axis=-1)
 
     def step(carry, _):
-        num, den, k_c, v_c, m_c = carry
-        s = jax.nn.sigmoid(jnp.einsum("nhm,lhm->nlh", qs, k_c))
-        s = s * m_c[None, :, None]
-        num = num + jnp.einsum("nlh,lhd->nhd", s, v_c)
-        den = den + jnp.sum(s, axis=1)
+        if use_mask:
+            num, k_c, v_c, m_c = carry
+        else:
+            num, k_c, v_c = carry
+        s = jax.nn.sigmoid(jnp.einsum("nhm,lhm->nlh", qs, k_c,
+                                      preferred_element_type=jnp.float32))
+        if use_mask:
+            s = s * m_c[None, :, None]
+        num = num + jnp.einsum("nlh,lhd->nhd", s.astype(v_c.dtype), v_c,
+                               preferred_element_type=jnp.float32)
         perm = [
             (i, (i + 1) % n_shards) for i in range(n_shards)
         ]
         k_c = jax.lax.ppermute(k_c, axis_name, perm)
         v_c = jax.lax.ppermute(v_c, axis_name, perm)
-        m_c = jax.lax.ppermute(m_c, axis_name, perm)
-        return (num, den, k_c, v_c, m_c), None
+        if use_mask:
+            m_c = jax.lax.ppermute(m_c, axis_name, perm)
+            return (num, k_c, v_c, m_c), None
+        return (num, k_c, v_c), None
 
     def _varying(x):
         # zero-filled / constant carries start 'unvarying' under shard_map's
@@ -157,12 +173,12 @@ def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
                 return x  # already varying
         return x
 
-    init = (
-        _varying(jnp.zeros((qs.shape[0], qs.shape[1], vs.shape[2]), jnp.float32)),
-        _varying(jnp.zeros((qs.shape[0], qs.shape[1]), jnp.float32)),
-        ks,
-        vs,
-        _varying(key_mask),
-    )
-    (num, den, _, _, _), _ = jax.lax.scan(step, init, None, length=n_shards)
-    return (num / den[..., None]).astype(qs.dtype)
+    acc0 = _varying(
+        jnp.zeros((qs.shape[0], qs.shape[1], d_out + 1), jnp.float32))
+    if use_mask:
+        init = (acc0, ks, vs, _varying(key_mask))
+    else:
+        init = (acc0, ks, vs)
+    carry, _ = jax.lax.scan(step, init, None, length=n_shards)
+    num = carry[0]
+    return (num[..., :d_out] / num[..., d_out:]).astype(qs.dtype)

@@ -126,13 +126,43 @@ class DistributedTrainer:
         }
 
     def fit(self, split_idx, *, epochs=100, runs=1, eval_step=1,
-            verbose=False, display_step=50, logger=None):
+            verbose=False, display_step=50, logger=None,
+            ckpt_dir="", checkpoint_every=0, resume=False):
+        """``ckpt_dir`` + ``checkpoint_every=N`` writes a full training
+        checkpoint (params, optimizer state, rng, best-val scalar) every N
+        epochs via orbax, and ``resume=True`` continues from the latest one
+        with the exact rng stream — same contract as
+        ``FullBatchTrainer.fit`` (SURVEY.md §5: periodic checkpoints +
+        deterministic resume are the minimum failure-recovery story, and
+        they matter most on the multi-chip path). Params/opt state are
+        replicated across the mesh, so the checkpoint is mesh-shape
+        independent."""
         summaries = []
         for run in range(runs):
             params, opt_state = self.init_state(run)
             rng = jax.random.PRNGKey(1000 + self.seed + run)
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
-            for epoch in range(epochs):
+            start_epoch = 0
+            mgr = None
+            if ckpt_dir and checkpoint_every > 0:
+                from difformer_tpu.train.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(f"{ckpt_dir}/run{run}")
+                last = mgr.latest_step() if resume else None
+                if last is not None:
+                    restored = mgr.restore(last, {
+                        "params": params, "opt_state": opt_state, "rng": rng,
+                        "best_valid": np.array(0.0, np.float32),
+                    })
+                    # back to host arrays: restored leaves are committed to
+                    # one device, which conflicts with the mesh placement
+                    # the sharded step expects; numpy leaves re-place freely
+                    params, opt_state, rng = jax.tree_util.tree_map(
+                        np.asarray, (restored["params"],
+                                     restored["opt_state"], restored["rng"]))
+                    best["valid"] = float(restored["best_valid"])
+                    start_epoch = last + 1
+            for epoch in range(start_epoch, epochs):
                 rng, sk = jax.random.split(rng)
                 params, opt_state, loss = self._step(
                     params, opt_state, self.sg, sk
@@ -148,5 +178,15 @@ class DistributedTrainer:
                     if verbose and epoch % display_step == 0:
                         print(f"run {run} epoch {epoch}: loss "
                               f"{float(loss):.4f} {res}")
+                if mgr is not None and (epoch + 1) % checkpoint_every == 0:
+                    mgr.save(epoch, {
+                        "params": jax.tree_util.tree_map(np.asarray, params),
+                        "opt_state": jax.tree_util.tree_map(
+                            np.asarray, opt_state),
+                        "rng": np.asarray(rng),
+                        "best_valid": np.array(best["valid"], np.float32),
+                    })
+            if mgr is not None:
+                mgr.close()
             summaries.append(best)
         return summaries

@@ -99,6 +99,59 @@ class RunLogger:
         return s
 
 
+class SimpleLogger:
+    """Hyperparameter-keyed result aggregator (reference ``SimpleLogger``,
+    ``physical particle/logger.py:103-153``): results are stored per
+    ``(run, args-tuple)``, aggregated as mean±std over runs per args
+    setting, with ``get_best`` ranking settings by the mean of the last
+    value column. Values are reported ×100 like the reference."""
+
+    def __init__(self, desc: str, param_names, num_values: int = 2):
+        self.desc = desc
+        self.param_names = tuple(param_names)
+        self.num_values = num_values
+        self.results: dict = {}        # run -> {args: values}
+        self.used_args: List[tuple] = []
+
+    def add_result(self, run: int, args, values):
+        args = tuple(args)
+        values = tuple(float(v) for v in values)
+        if len(args) != len(self.param_names):
+            raise ValueError("args must match param_names")
+        if len(values) != self.num_values:
+            raise ValueError(f"expected {self.num_values} values")
+        self.results.setdefault(run, {})[args] = values
+        if args not in self.used_args:
+            self.used_args.append(args)
+
+    def _stats(self, args):
+        rows = 100.0 * np.asarray(
+            [r[args] for r in self.results.values() if args in r])
+        # sample std over runs (ddof=1) like torch.std; 0 for a single run
+        std = rows.std(axis=0, ddof=1) if rows.shape[0] > 1 \
+            else np.zeros(rows.shape[1])
+        return rows.mean(axis=0), std
+
+    def get_best(self, top_k: int = 1):
+        ranked = sorted(self.used_args,
+                        key=lambda a: self._stats(a)[0][-1], reverse=True)
+        return ranked[:top_k]
+
+    def display(self, args=None):
+        disp = self.used_args if args is None else args
+        if len(disp) > 1:
+            print(f"{self.desc} {self.param_names}, "
+                  f"{len(self.results)} runs")
+        out = {}
+        for a in disp:
+            mean, std = self._stats(a)
+            out[a] = (mean, std)
+            res = " -> ".join(f"{m:.2f} ± {s:.2f}"
+                              for m, s in zip(mean, std))
+            print(f"Args {list(map(str, a))}: {res}")
+        return out
+
+
 def save_result(path: str, args_dict: dict, stats: dict):
     """CSV appender (reference ``save_result``, logger.py:70-79)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

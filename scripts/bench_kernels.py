@@ -37,13 +37,16 @@ def bench_sigmoid():
     from difformer_tpu.ops.sigmoid_attention import sigmoid_attention
 
     N = int(os.environ.get("SIG_N", 16384))
+    DT = jnp.bfloat16 if os.environ.get("SIG_DTYPE") == "bfloat16" \
+        else jnp.float32
     H, M, D = 1, 64, 64
     STEPS = 8
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32), dtype=DT)
+    k = jnp.asarray(rng.normal(size=(N, H, M)).astype(np.float32), dtype=DT)
+    v = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32), dtype=DT)
     mask = jnp.ones((N,), jnp.float32)
+    print(f"# sigmoid bench dtype={DT.__name__}", flush=True)
 
     def chain(f):
         @jax.jit
@@ -55,7 +58,9 @@ def bench_sigmoid():
 
     f_xla = chain(lambda q, k, v: sigmoid_attention(q, k, v,
                                                     use_pallas=False))
-    f_pal = chain(lambda q, k, v: sigmoid_attention_pallas(q, k, v, mask))
+    use_mask = os.environ.get("SIG_MASK") == "1"
+    f_pal = chain(lambda q, k, v: sigmoid_attention_pallas(
+        q, k, v, mask if use_mask else None))
 
     for name, f in [("xla-blockwise", f_xla), ("pallas", f_pal)]:
         t0 = time.perf_counter()

@@ -57,3 +57,52 @@ def test_distributed_trainer_bsr_matches_halo():
 
     res = tr_bsr.fit(split, epochs=40, runs=1, eval_step=5)
     assert res[0]["test"] > 0.5, res
+
+
+def test_distributed_trainer_checkpoint_resume(tmp_path):
+    """Interrupted sharded run resumed from the periodic checkpoint matches
+    the uninterrupted run exactly (same rng stream, same params)."""
+    import jax
+
+    n, c = 160, 3
+    x, ei, y = random_graph(n, 700, 10, c, seed=23, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    train_mask = idx_to_mask(split["train"], n)
+
+    def make():
+        model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                          dropout=0.0, axis_name="graph")
+        init_model = DIFFormer(hidden_channels=16, out_channels=c,
+                               num_layers=2, dropout=0.0)
+        return DistributedTrainer(model, init_model, x, ei, y,
+                                  train_mask=train_mask, lr=1e-2, loss="nll")
+
+    from difformer_tpu.train.checkpoint import CheckpointManager
+
+    def ckpt_template(tr):
+        p, o = tr.init_state(0)
+        return {"params": p, "opt_state": o, "rng": jax.random.PRNGKey(0),
+                "best_valid": np.array(0.0, np.float32)}
+
+    # interrupted at 6 (checkpoints at 2, 5), resumed to 10 → ckpt at 8
+    d = str(tmp_path / "ck")
+    tr_a = make()
+    tr_a.fit(split, epochs=6, runs=1, ckpt_dir=d, checkpoint_every=3)
+    tr_b = make()
+    tr_b.fit(split, epochs=10, runs=1, ckpt_dir=d, checkpoint_every=3,
+             resume=True)
+    mgr = CheckpointManager(f"{d}/run0")
+    assert mgr.latest_step() == 8
+    resumed = mgr.restore(8, ckpt_template(tr_b))
+
+    # uninterrupted run's epoch-8 checkpoint must match exactly
+    d2 = str(tmp_path / "ck2")
+    tr_c = make()
+    tr_c.fit(split, epochs=10, runs=1, ckpt_dir=d2, checkpoint_every=3)
+    mgr2 = CheckpointManager(f"{d2}/run0")
+    ref = mgr2.restore(8, ckpt_template(tr_c))
+    for a, b in zip(jax.tree_util.tree_leaves(resumed["params"]),
+                    jax.tree_util.tree_leaves(ref["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

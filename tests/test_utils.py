@@ -87,3 +87,21 @@ def test_parse_grid():
     assert g["lr"] == [0.1, 0.01]
     assert g["hidden_channels"] == [32, 64]
     assert g["kernel"] == ["simple"]
+
+
+def test_simple_logger_aggregation(capsys):
+    from difformer_tpu.utils.logger import SimpleLogger
+
+    lg = SimpleLogger("sweep", ("lr", "wd"), num_values=2)
+    lg.add_result(0, (0.01, 0.0), (0.5, 0.7))
+    lg.add_result(1, (0.01, 0.0), (0.6, 0.9))
+    lg.add_result(0, (0.1, 0.0), (0.4, 0.5))
+    # best setting by mean of the LAST value column
+    assert lg.get_best() == [(0.01, 0.0)]
+    out = lg.display()
+    mean, std = out[(0.01, 0.0)]
+    np.testing.assert_allclose(mean, [55.0, 80.0])
+    # sample std (ddof=1) over the two runs, x100 scale
+    np.testing.assert_allclose(std, [np.std([50, 60], ddof=1),
+                                     np.std([70, 90], ddof=1)])
+    assert "Args" in capsys.readouterr().out
