@@ -48,10 +48,13 @@ from difformer_tpu.ops.ell import (
 _EDGE_EQUIV_BYTES = 6500.0
 
 
-def default_min_edges(tile: int, feat_bytes: int = 128) -> int:
+def default_min_edges(tile: int, feat_bytes: int = 128,
+                      block_elem_bytes: int = 4) -> int:
     """Edges a tile must hold before the dense-block path beats per-edge
-    gathers: block bytes (A tile + x tile fetch) / gather-equivalent bytes."""
-    block_bytes = tile * tile * 4 + tile * feat_bytes
+    gathers: block bytes (A tile + x tile fetch) / gather-equivalent bytes.
+    bf16 blocks (``block_elem_bytes=2``) stream half the bytes, so the
+    threshold halves and more tiles qualify for the MXU path."""
+    block_bytes = tile * tile * block_elem_bytes + tile * feat_bytes
     return max(8, int(block_bytes / _EDGE_EQUIV_BYTES) + 1)
 
 
@@ -151,7 +154,8 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     if min_edges is None:
-        min_edges = default_min_edges(tile)
+        min_edges = default_min_edges(
+            tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
     if residual_kwargs is None:
         residual_kwargs = dict(min_bucket=4, bucket_factor=2)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)

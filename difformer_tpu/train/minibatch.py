@@ -96,7 +96,7 @@ class MiniBatchTrainer:
     def _epoch(self, params, opt_state, rng_np, rng_key, e_bucket):
         idx = rng_np.permutation(self.n)
         n_chunks = -(-self.n // self.batch_size)
-        total = 0.0
+        losses = []
         for i in range(n_chunks):
             chunk = idx[i * self.batch_size:(i + 1) * self.batch_size]
             real = chunk.shape[0]
@@ -131,8 +131,12 @@ class MiniBatchTrainer:
                 jnp.asarray(lmask),
                 sk,
             )
-            total += float(l)
-        return params, opt_state, total / n_chunks, rng_key
+            # keep the loss on device: float(l) here would sync every chunk
+            # and serialize host-side subgraph prep with device compute —
+            # async dispatch overlaps them for free
+            losses.append(l)
+        total = float(jnp.stack(losses).mean())
+        return params, opt_state, total, rng_key
 
     def evaluate(self, params, split_idx):
         """Full-graph eval in node chunks with the FULL edge set per chunk
@@ -176,8 +180,10 @@ class MiniBatchTrainer:
             params, opt_state = self.init_state(run)
             rng_np = np.random.default_rng(self.seed + run)
             rng_key = jax.random.PRNGKey(777 + run)
+            # host copies: live params are donated by the next step, so a
+            # stored device reference would be a deleted buffer
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1,
-                    "params": params}
+                    "params": jax.tree_util.tree_map(np.asarray, params)}
             for epoch in range(epochs):
                 params, opt_state, loss, rng_key = self._epoch(
                     params, opt_state, rng_np, rng_key, max_chunk_edges
@@ -189,7 +195,9 @@ class MiniBatchTrainer:
                             run, (res["train"], res["valid"], res["test"])
                         )
                     if res["valid"] > best["valid"]:
-                        best = {**res, "epoch": epoch, "params": params}
+                        best = {**res, "epoch": epoch,
+                                "params": jax.tree_util.tree_map(
+                                    np.asarray, params)}
                     if verbose:
                         print(f"run {run} epoch {epoch}: loss {loss:.4f} "
                               f"{res}")
