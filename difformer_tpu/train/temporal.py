@@ -131,8 +131,10 @@ class TemporalTrainer:
 
     def epoch_train(self, params, opt_state, data, rng):
         T = data["x"].shape[0]
+        # costs stay on device inside the snapshot loop — a float() there
+        # would sync per snapshot and serialize host dispatch with compute
         if self.mode == "cumulative":
-            total = 0.0
+            costs = []
             acc = jax.tree_util.tree_map(jnp.zeros_like, params)
             for t in range(T):
                 rng, sk = jax.random.split(rng)
@@ -141,13 +143,13 @@ class TemporalTrainer:
                     data["receivers"][t], data["edge_weight"][t],
                     data["edge_mask"][t], data["y"][t], sk,
                 )
-                total += float(c)
+                costs.append(c)
                 acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
             acc = jax.tree_util.tree_map(lambda a: a / T, acc)
             params, opt_state = self._apply_updates(params, opt_state, acc)
-            return params, opt_state, total / T
+            return params, opt_state, float(jnp.stack(costs).mean())
         # incremental
-        total = 0.0
+        costs = []
         for t in range(T):
             rng, sk = jax.random.split(rng)
             c, g = self._grad(
@@ -155,21 +157,21 @@ class TemporalTrainer:
                 data["receivers"][t], data["edge_weight"][t],
                 data["edge_mask"][t], data["y"][t], sk,
             )
-            total += float(c)
+            costs.append(c)
             params, opt_state = self._apply_updates(params, opt_state, g)
-        return params, opt_state, total / T
+        return params, opt_state, float(jnp.stack(costs).mean())
 
     def evaluate(self, params, data):
         T = data["x"].shape[0]
         costs = [
-            float(self._eval(
+            self._eval(
                 params, data["x"][t], data["senders"][t],
                 data["receivers"][t], data["edge_weight"][t],
                 data["edge_mask"][t], data["y"][t],
-            ))
+            )
             for t in range(T)
         ]
-        return float(np.mean(costs))
+        return float(jnp.stack(costs).mean())
 
     def fit(self, train_snaps, val_snaps, test_snaps, *, epochs=100,
             early_stopping=20, run=0, verbose=False, display_step=20):
