@@ -118,7 +118,8 @@ def run_node_task(cfg: Config):
         ei, x, label = permute_graph(perm, ei, x, label)
 
     loss = "bce" if cfg.dataset in BCE_DATASETS else "nll"
-    model = parse_method(cfg, n, n_classes)
+    is_lp = cfg.method.lower() in ("lp", "multilp")
+    model = None if is_lp else parse_method(cfg, n, n_classes)
     logger = RunLogger(cfg.runs)
 
     def split_for(run):
@@ -142,7 +143,25 @@ def run_node_task(cfg: Config):
             split = {k: perm[np.asarray(v)] for k, v in split.items()}
         return split
 
-    if cfg.n_shards > 1:
+    if is_lp:
+        # label propagation (reference MultiLP, gnns.py:203-253): no
+        # parameters, so no trainer — propagate and score per run
+        from difformer_tpu.nn.gnns import multi_lp
+        from difformer_tpu.utils.metrics import METRICS
+
+        metric_fn = METRICS[cfg.metric]
+        mult_bin = loss == "bce" and label.ndim > 1 and label.shape[1] > 1
+        res = []
+        for run in range(cfg.runs):
+            split = split_for(run)
+            out = np.asarray(multi_lp(
+                ei[0], ei[1], label, split["train"], n, n_classes,
+                alpha=cfg.lp_alpha, hops=cfg.hops, mult_bin=mult_bin))
+            r = {name: metric_fn(label[np.asarray(idx)], out[np.asarray(idx)])
+                 for name, idx in split.items()}
+            logger.add_result(run, (r["train"], r["valid"], r["test"]))
+            res.append({**r, "epoch": 0})
+    elif cfg.n_shards > 1:
         # node-sharded distributed training over a device mesh
         from difformer_tpu.parallel.mesh import make_mesh
         from difformer_tpu.train.distributed import DistributedTrainer

@@ -68,3 +68,15 @@ def test_cli_reorder_and_bsr_spmm():
                          "--bsr_tile", "64"])
     assert res[0]["test"] > 0.4
     assert abs(res[0]["test"] - base[0]["test"]) < 0.25
+
+
+def test_cli_label_propagation():
+    """--method lp: parameterless MultiLP propagation scored per run
+    (reference gnns.py:203-253 wired through the method factory)."""
+    res = main([
+        "--dataset", "synthetic-500-3000-16-3", "--method", "lp",
+        "--runs", "2", "--rand_split", "true", "--hops", "1",
+        "--lp_alpha", "0.9",
+    ])
+    assert len(res) == 2
+    assert res[0]["test"] > 0.4, res
