@@ -101,8 +101,10 @@ def main():
     x, s_sorted, r_sorted, s_uns, r_uns = build_graph(N, E, F, kind=GRAPH)
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
+    use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
                       num_heads=1, kernel="simple", dropout=0.0,
+                      use_graph=use_graph,   # =0: attention+MLP-only split
                       compute_dtype=DTYPE or None)
     xs = jnp.asarray(x)
     labels = jnp.asarray(y)

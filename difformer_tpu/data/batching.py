@@ -134,3 +134,38 @@ def batch_iterator(dataset: List, indices, batch_size, *, max_nodes, max_edges,
             max_edges=max_edges,
             batch_size=batch_size,
         )
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run ``iterator`` in a background thread, keeping up to ``depth``
+    items ready in a bounded queue.
+
+    Host-side batch assembly (``pad_graph_batch`` is numpy-heavy) then
+    overlaps with device compute instead of serializing with it — the
+    TPU-native stand-in for the reference's multi-worker PyG DataLoader
+    (``physical particle/utils/get_data_loaders.py:33-38``). Exceptions in
+    the producer are re-raised at the consuming site.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # re-raise on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

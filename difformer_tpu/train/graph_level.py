@@ -125,11 +125,15 @@ class GraphLevelTrainer:
             rng = jax.random.PRNGKey(999 + run)
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
             for epoch in range(epochs):
-                for batch in batch_iterator(
+                # background-thread prefetch overlaps host batch padding
+                # with the (async-dispatched) device step
+                from difformer_tpu.data.batching import prefetch
+
+                for batch in prefetch(batch_iterator(
                     self.dataset, split_idx["train"], self.batch_size,
                     max_nodes=self.max_nodes, max_edges=self.max_edges,
                     shuffle=True, rng=rng_np,
-                ):
+                )):
                     rng, sk = jax.random.split(rng)
                     params, opt_state, loss = self._step(
                         params, opt_state, self._to_device(batch), sk

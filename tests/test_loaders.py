@@ -289,3 +289,19 @@ def test_arxiv_year_quantile_labels(tmp_path):
     # random splits (no fixed split carried over from arxiv)
     sp = ds.get_idx_split()
     assert len(sp["train"]) + len(sp["valid"]) + len(sp["test"]) <= 20
+
+
+def test_prefetch_matches_and_propagates_errors():
+    from difformer_tpu.data.batching import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="producer failed"):
+        list(it)
