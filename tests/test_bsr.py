@@ -139,7 +139,7 @@ def test_default_min_edges_cost_model():
 # --------------------------------------------------------------------------
 
 def _shard_harness():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("graph",))
