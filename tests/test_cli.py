@@ -80,3 +80,26 @@ def test_cli_label_propagation():
     ])
     assert len(res) == 2
     assert res[0]["test"] > 0.4, res
+
+
+def test_cli_graph_task_synthetic():
+    """task=graph falls back to synthetic small graphs; the DIFFormerV2 +
+    pooling head pipeline trains end-to-end."""
+    res = main([
+        "--dataset", "actstrack", "--task", "graph", "--epochs", "2",
+        "--runs", "1", "--hidden_channels", "8", "--num_layers", "2",
+        "--batch_size", "16", "--metric", "acc", "--dropout", "0.0",
+    ])
+    assert np.isfinite(res[0]["test"])
+
+
+def test_golden_sigmoid_kernel_accuracy():
+    """DIFFormer-a (O(N^2) sigmoid kernel) end-to-end floor on the fixed
+    synthetic graph — covers the blockwise XLA dispatch in training."""
+    res = main([
+        "--dataset", "synthetic-400-1600-16-3", "--epochs", "40", "--runs",
+        "1", "--rand_split", "true", "--kernel", "sigmoid",
+        "--hidden_channels", "16", "--seed", "123", "--dropout", "0.0",
+        "--display_step", "100",
+    ])
+    assert res[0]["test"] >= 0.85, res
