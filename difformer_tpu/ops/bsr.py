@@ -77,24 +77,37 @@ def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
                  min_edges, block_dtype=np.float32):
     """Select tiles with ≥min_edges edges and materialize them as a
     tile-level ELL: returns ``(blocks [Ntr,Kb,T,T], block_col [Ntr,Kb],
-    dense_edge_mask [E])``."""
+    dense_edge_mask [E])``. Accumulation is always f32; ``block_dtype``
+    converts on the host so the device transfer already streams the
+    narrow type."""
     ntr = -(-num_rows // tile)
     ntc = -(-num_cols // tile)
     tr = owner // tile
     tc = point_to // tile
     key = tr.astype(np.int64) * ntc + tc
-    uniq, inv, counts = np.unique(key, return_inverse=True,
-                                  return_counts=True)
-    dense_mask_u = counts >= min_edges
-    dense_edge = dense_mask_u[inv]
+    nkeys = ntr * ntc
+    if nkeys <= (1 << 26):
+        # tile-key space is small: O(E) histogram beats np.unique's sort
+        counts = np.bincount(key, minlength=nkeys)
+        dense_edge = counts[key] >= min_edges
+        dkeys = np.flatnonzero(counts >= min_edges).astype(np.int64)
+        slot_lookup = np.zeros(nkeys, np.int64)
+        edge_key = key
+    else:
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        dense_mask_u = counts >= min_edges
+        dense_edge = dense_mask_u[inv]
+        dkeys = uniq[dense_mask_u]
+        slot_lookup = np.zeros(uniq.size, np.int64)
+        edge_key = inv
 
-    dkeys = uniq[dense_mask_u]
     dtr = (dkeys // ntc).astype(np.int64)
     dtc = (dkeys % ntc).astype(np.int64)
     per_row = np.bincount(dtr, minlength=ntr)
     kb = int(per_row.max()) if dkeys.size else 0
     block_col = np.zeros((ntr, max(kb, 1)), np.int32)
-    blocks = np.zeros((ntr, max(kb, 1), tile, tile), block_dtype)
+    blocks = np.zeros((ntr, max(kb, 1), tile, tile), np.float32)
     if dkeys.size:
         # slot of each dense tile within its block-row (dkeys sorted by tr)
         row_start = np.zeros(ntr + 1, np.int64)
@@ -103,13 +116,17 @@ def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
         slot = np.arange(dkeys.size) - row_start[dtr]
         block_col[dtr, slot] = dtc.astype(np.int32)
         # map each dense edge to its (block-row, slot) and fill values
-        slot_of_key = np.zeros(uniq.size, np.int64)
-        slot_of_key[dense_mask_u] = slot
+        if nkeys <= (1 << 26):
+            slot_lookup[dkeys] = slot
+        else:
+            slot_lookup[dense_mask_u] = slot
         e = dense_edge
         np.add.at(blocks,
-                  (tr[e], slot_of_key[inv[e]],
+                  (tr[e], slot_lookup[edge_key[e]],
                    owner[e] % tile, point_to[e] % tile),
                   values[e])
+    if np.dtype(block_dtype) != np.float32:
+        blocks = blocks.astype(block_dtype)
     return blocks, block_col, dense_edge
 
 
@@ -159,15 +176,16 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
     if residual_kwargs is None:
         residual_kwargs = dict(min_bucket=4, bucket_factor=2)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
+    # block_dtype reaches the host build so the device transfer streams the
+    # narrow type (bf16 halves the dominant host->device copy)
     fwd = _build_bsr_direction(senders, receivers, val, num_nodes,
                                tile=tile, min_edges=min_edges,
+                               block_dtype=block_dtype,
                                residual_kwargs=residual_kwargs)
     rev = _build_bsr_direction(receivers, senders, val, num_nodes,
                                tile=tile, min_edges=min_edges,
+                               block_dtype=block_dtype,
                                residual_kwargs=residual_kwargs)
-    if block_dtype is not np.float32:
-        fwd = fwd.replace(blocks=fwd.blocks.astype(block_dtype))
-        rev = rev.replace(blocks=rev.blocks.astype(block_dtype))
     if verbose:
         for name, d in (("fwd", fwd), ("rev", rev)):
             res = d.residual
