@@ -310,28 +310,45 @@ def build_tau3mu(root, data_config, *, seed=42) -> GraphListDataset:
     return ds
 
 
-def build_synmol(root, data_config, *, seed=42) -> GraphListDataset:
-    """SynMol (synmol.py): molecule graphs from SMILES need RDKit (not in
-    this image) — loads the processed cache when present, else raises."""
-    cache = os.path.join(root, "processed", "synmol_processed.npz")
+def _build_from_caches(name, root, npz_name, pyg_name, gate_msg):
+    """Resolve a gated dataset from (in order): our npz cache, or the
+    reference's collated PyG ``processed/data.pt`` (read without PyG via
+    ``data/pyg_interop.py`` and re-cached as npz)."""
+    cache = os.path.join(root, "processed", npz_name)
     if os.path.exists(cache):
-        return GraphListDataset.load_cache("synmol", cache)
+        return GraphListDataset.load_cache(name, cache)
+    pyg_cache = os.path.join(root, "processed", pyg_name)
+    if os.path.exists(pyg_cache):
+        from difformer_tpu.data.pyg_interop import graph_list_from_pyg
+
+        ds = graph_list_from_pyg(name, pyg_cache)
+        ds.save_cache(cache)
+        return ds
     raise ImportError(
-        "SynMol preprocessing requires RDKit (3D conformer embedding, "
-        "synmol.py:96-107), which is not installed; provide the processed "
-        f"cache at {cache}"
+        f"{gate_msg}; provide the processed cache at {cache} or the "
+        f"reference's PyG artifact at {pyg_cache}"
+    )
+
+
+def build_synmol(root, data_config, *, seed=42) -> GraphListDataset:
+    """SynMol (synmol.py): rebuilding from raw SMILES needs RDKit's 3D
+    conformer embedding (synmol.py:96-107, not in this image). Loads our npz
+    cache or the reference's processed ``data.pt`` (synmol.py:124-125) —
+    the latter needs neither RDKit nor torch_geometric here."""
+    return _build_from_caches(
+        "synmol", root, "synmol_processed.npz", "data.pt",
+        "SynMol preprocessing from raw requires RDKit (synmol.py:96-107)",
     )
 
 
 def build_plbind(root, data_config, *, seed=42) -> GraphListDataset:
-    """PLBind (plbind.py): protein-ligand graphs need BioPython (PDB parsing,
-    surface, charges) — loads the processed cache when present, else raises."""
-    cache = os.path.join(root, "processed", "plbind_processed.npz")
-    if os.path.exists(cache):
-        return GraphListDataset.load_cache("plbind", cache)
-    raise ImportError(
-        "PLBind preprocessing requires BioPython/pint (plbind.py:26-34), not "
-        f"installed; provide the processed cache at {cache}"
+    """PLBind (plbind.py): rebuilding from raw PDB needs BioPython/pint
+    (plbind.py:26-34). Loads our npz cache or the reference's processed
+    ``data.pt`` (plbind.py:233-235) without PyG/BioPython."""
+    return _build_from_caches(
+        "plbind", root, "plbind_processed.npz", "data.pt",
+        "PLBind preprocessing from raw requires BioPython/pint "
+        "(plbind.py:26-34)",
     )
 
 
