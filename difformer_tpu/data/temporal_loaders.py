@@ -103,10 +103,65 @@ def load_england_covid(data_dir, lags=8) -> List[TemporalSnapshot]:
     return snaps
 
 
+def _encode_tennis_features(x):
+    """torch_geometric_temporal's ``encode_features`` (feature_mode=
+    'encoded'): column 0 = degree -> one-hot of ceil(log(1+deg)) clipped to
+    [0,4] (5 dims); column 1 = transitivity -> one-hot of floor(10*t) in
+    [0,10] (11 dims). Total 16 dims — the ``d = 16`` the reference hardcodes
+    (``spatial-temporal/main.py:53,58``)."""
+    x = np.asarray(x, np.float64)
+    deg = np.minimum(np.ceil(np.log(x[:, 0] + 1.0)), 4).astype(np.int64)
+    trans = np.clip(np.floor(x[:, 1] * 10), 0, 10).astype(np.int64)
+    out = np.zeros((x.shape[0], 16), np.float32)
+    out[np.arange(len(x)), deg] = 1.0
+    out[np.arange(len(x)), 5 + trans] = 1.0
+    return out
+
+
+def load_twitter_tennis(data_dir, event_id="rg17", feature_mode="encoded",
+                        target_offset=1) -> List[TemporalSnapshot]:
+    """Twitter tennis mention graphs (dynamic graph + dynamic features;
+    reference ``twitter_rg``/``twitter_uo``, ``spatial-temporal/
+    main.py:49-58``). Reads ``twitter_tennis_{event_id}.json`` in the
+    torch_geometric_temporal layout: per-timestep ``edges``/``weights``/
+    ``X``/``y`` either under ``data[str(t)]`` or as top-level per-key time
+    maps. Targets are ``log(1+y)`` at ``t + target_offset``."""
+    path = _need(os.path.join(data_dir, f"twitter_tennis_{event_id}.json"),
+                 f"twitter tennis {event_id}")
+    with open(path) as f:
+        data = json.load(f)
+    T = int(data["time_periods"])
+
+    def at(key, t):
+        if str(t) in data and key in data[str(t)]:
+            return data[str(t)][key]
+        return data[key][str(t)]
+
+    snaps = []
+    for t in range(T - target_offset):
+        edges = np.asarray(at("edges", t), np.int64)
+        if edges.shape[0] != 2:
+            edges = edges.T
+        w = np.asarray(at("weights", t), np.float32)
+        x = np.asarray(at("X", t), np.float32)
+        if feature_mode == "encoded":
+            x = _encode_tennis_features(x)
+        y = np.asarray(at("y", t + target_offset), np.float32)
+        snaps.append(TemporalSnapshot(
+            node_feat=x,
+            edge_index=edges,
+            edge_weight=w,
+            target=np.log(1.0 + y),
+        ))
+    return snaps
+
+
 LOADERS = {
     "chickenpox": load_chickenpox,
     "wikimath": load_wikimath,
     "covid": load_england_covid,
+    "twitter_rg": lambda d, **kw: load_twitter_tennis(d, "rg17", **kw),
+    "twitter_uo": lambda d, **kw: load_twitter_tennis(d, "uo17", **kw),
 }
 
 
