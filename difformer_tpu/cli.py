@@ -178,7 +178,7 @@ def run_node_task(cfg: Config):
                 lr=cfg.lr, weight_decay=cfg.weight_decay, loss=loss,
                 metric=cfg.metric, seed=cfg.seed,
                 spmm=(cfg.spmm if cfg.spmm == "bsr" else "halo"),
-                bsr_tile=cfg.bsr_tile,
+                bsr_tile=cfg.bsr_tile, balance_edges=cfg.balance_edges,
             )
             r = trainer.fit(split, epochs=cfg.epochs, runs=1,
                             eval_step=cfg.eval_step, logger=logger,

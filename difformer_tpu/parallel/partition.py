@@ -61,6 +61,35 @@ class ShardedGraph:
         return self.node_feat.shape[0]
 
 
+def edge_balanced_layout(edge_index, num_nodes: int, n_shards: int,
+                         node_align: int = 1):
+    """Contiguous shard boundaries placed at equal *cumulative receiver
+    degree* instead of equal node count (SURVEY.md §7.3 risk 4:
+    degree-balanced shards). On skewed graphs the slowest shard gates every
+    collective, so balancing edges (the SpMM work) beats balancing nodes.
+
+    Returns ``(node_perm, nodes_per_shard)``: ``node_perm[g]`` is node g's
+    position in the padded ``[n_shards * nodes_per_shard]`` layout (each
+    shard's nodes packed at its block start; per-block tail padding). Node
+    order inside a shard is preserved, so locality reorders compose."""
+    ei = np.asarray(edge_index)
+    deg = np.bincount(ei[1], minlength=num_nodes).astype(np.int64)
+    c = np.cumsum(deg)
+    total = max(int(c[-1]), 1)
+    targets = (np.arange(1, n_shards) * total) / n_shards
+    cuts = np.searchsorted(c, targets, side="left") + 1
+    bounds = np.concatenate([[0], np.clip(cuts, 0, num_nodes), [num_nodes]])
+    bounds = np.maximum.accumulate(bounds)
+    counts = np.diff(bounds)
+    n_loc = max(int(counts.max()), 1)
+    n_loc = -(-n_loc // node_align) * node_align
+    node_perm = np.empty(num_nodes, np.int64)
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        node_perm[lo:hi] = s * n_loc + np.arange(hi - lo)
+    return node_perm, n_loc
+
+
 def partition_graph(
     node_feat: np.ndarray,
     edge_index: np.ndarray,
@@ -72,6 +101,8 @@ def partition_graph(
     edge_pad_multiple: int = 128,
     build_halo: bool = False,
     node_align: int = 1,
+    node_perm: Optional[np.ndarray] = None,
+    nodes_per_shard: Optional[int] = None,
 ) -> ShardedGraph:
     """Contiguous node partition + receiver-owned edge partition.
 
@@ -83,16 +114,23 @@ def partition_graph(
     ``all_gather`` (BASELINE.json north star: edge-partitioned training with
     boundary exchange over ICI)."""
     n = int(node_feat.shape[0])
-    n_loc = -(-n // n_shards)  # ceil
-    n_loc = -(-n_loc // node_align) * node_align  # e.g. BSR tile alignment
+    if node_perm is not None:
+        # caller-provided layout (e.g. edge_balanced_layout): node g lives at
+        # padded position node_perm[g]; per-block tail padding
+        pos = np.asarray(node_perm, np.int64)
+        n_loc = int(nodes_per_shard)
+    else:
+        n_loc = -(-n // n_shards)  # ceil
+        n_loc = -(-n_loc // node_align) * node_align  # BSR tile alignment
+        pos = np.arange(n, dtype=np.int64)  # identity: padding at the tail
     n_pad = n_loc * n_shards
 
     x = np.zeros((n_pad,) + node_feat.shape[1:], dtype=np.float32)
-    x[:n] = node_feat
+    x[pos] = node_feat
     node_mask = np.zeros(n_pad, dtype=bool)
-    node_mask[:n] = True
+    node_mask[pos] = True
 
-    ei = np.asarray(edge_index)
+    ei = pos[np.asarray(edge_index)]
     shard_of_edge = ei[1] // n_loc
 
     per_shard = []
@@ -126,10 +164,10 @@ def partition_graph(
     if labels is not None:
         labels = np.asarray(labels)
         pad_lab = np.zeros((n_pad,) + labels.shape[1:], dtype=labels.dtype)
-        pad_lab[:n] = labels
+        pad_lab[pos] = labels
         lab = shard_nodes(pad_lab)
         lm = np.zeros(n_pad, dtype=bool)
-        lm[:n] = True if label_mask is None else np.asarray(label_mask)
+        lm[pos] = True if label_mask is None else np.asarray(label_mask)
         lmask = shard_nodes(lm)
 
     halo = {}

@@ -49,7 +49,7 @@ class DistributedTrainer:
     def __init__(self, model, init_model, node_feat, edge_index, labels, *,
                  train_mask, mesh=None, lr=1e-2, weight_decay=5e-4,
                  loss="nll", metric="acc", seed=123, spmm="halo",
-                 bsr_tile=256):
+                 bsr_tile=256, balance_edges=False):
         self.mesh = mesh or make_mesh()
         n_shards = int(np.prod(self.mesh.devices.shape))
         labels_np = np.asarray(labels)
@@ -68,6 +68,7 @@ class DistributedTrainer:
             ).astype(np.int32)
 
         ell = None
+        self._node_perm = None
         if spmm == "bsr":
             # block-sparse MXU hybrid (ops/bsr.py): dense adjacency tiles as
             # batched matmuls after one tiled all_gather; per-edge COO tail
@@ -86,10 +87,25 @@ class DistributedTrainer:
                 rows_per, self.sg.nodes_per_shard)
             ell = (fwd, rev)
         else:
+            perm_kw = {}
+            if balance_edges:
+                # degree-balanced contiguous shards (SURVEY §7.3 risk 4):
+                # equal cumulative receiver degree per shard instead of
+                # equal node count — the slowest shard gates every psum
+                from difformer_tpu.parallel.partition import (
+                    edge_balanced_layout,
+                )
+
+                perm, n_loc = edge_balanced_layout(
+                    np.asarray(edge_index),
+                    int(np.asarray(node_feat).shape[0]), n_shards)
+                perm_kw = dict(node_perm=perm, nodes_per_shard=n_loc)
+                self._node_perm = perm
             self.sg = partition_graph(
                 np.asarray(node_feat, np.float32), np.asarray(edge_index),
                 n_shards, labels=labels_for_train, label_mask=train_mask,
                 build_halo=True,   # boundary-only exchange with comm overlap
+                **perm_kw,
             )
         self.model = model
         self.init_model = init_model
@@ -118,7 +134,11 @@ class DistributedTrainer:
 
     def evaluate(self, params, split_idx):
         out = np.asarray(self._apply(params, self.sg))
-        out = out.reshape(-1, out.shape[-1])[: self.labels_eval.shape[0]]
+        out = out.reshape(-1, out.shape[-1])
+        if self._node_perm is not None:
+            out = out[self._node_perm]      # padded layout -> original order
+        else:
+            out = out[: self.labels_eval.shape[0]]
         return {
             name: self.metric_fn(self.labels_eval[np.asarray(idx)],
                                  out[np.asarray(idx)])

@@ -90,6 +90,7 @@ class Config:
 
     # execution
     n_shards: int = 1               # >1 → node-sharded training over a mesh
+    balance_edges: bool = False     # degree-balanced shard boundaries
     use_ell: bool = True            # scatter-free ELL SpMM for the GCN branch
     spmm: str = ""                  # '' (use_ell) | coo | ell | bsr (MXU
     #                                 block-sparse hybrid, ops/bsr.py)
