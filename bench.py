@@ -102,8 +102,10 @@ def main():
     y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
 
     use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
+    HEADS = int(os.environ.get("BENCH_HEADS", 1))  # reference loops heads in
+    # Python per SpMM (difformer.py:76-78); here all heads ride one op
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
-                      num_heads=1, kernel="simple", dropout=0.0,
+                      num_heads=HEADS, kernel="simple", dropout=0.0,
                       use_graph=use_graph,   # =0: attention+MLP-only split
                       compute_dtype=DTYPE or None)
     xs = jnp.asarray(x)
@@ -203,7 +205,8 @@ def main():
         t_naive = timeit(
             make_multi_step(s_uns, r_uns, False, use_ell=False), "naive")
         vs_baseline = t_naive / t_fast
-    elif GRAPH in NAIVE_EDGES_PER_S:
+    elif GRAPH in NAIVE_EDGES_PER_S and HEADS == 1:
+        # the cached naive constants were measured at H=1 only
         vs_baseline = edges_per_s / NAIVE_EDGES_PER_S[GRAPH]
     else:
         vs_baseline = 1.0
@@ -215,6 +218,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "n_nodes": N, "n_edges": E, "layers": LAYERS, "hidden": 64,
+            "heads": HEADS,
             "impl": IMPL, "dtype": DTYPE or "float32", "graph": GRAPH,
             "step_ms": round(t_fast * 1e3, 2),
             "backend": jax.default_backend(),
