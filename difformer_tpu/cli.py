@@ -225,13 +225,24 @@ def run_node_task(cfg: Config):
         )
         if cfg.eval_only:
             # checkpoint-eval harness (reference test_large_dataset.py:85-98)
-            from difformer_tpu.train.checkpoint import restore_checkpoint
+            import os as _os
 
             template = trainer.init_state(0).params
-            params = restore_checkpoint(
-                cfg.ckpt_path or f"{cfg.model_dir}/{cfg.dataset}-"
-                f"{cfg.method}", template,
-            )
+            if cfg.ckpt_path and _os.path.splitext(cfg.ckpt_path)[1] in (
+                    ".pkl", ".pt", ".pth"):
+                # the reference's trained torch state_dicts load directly
+                from difformer_tpu.utils.torch_import import (
+                    load_torch_checkpoint,
+                )
+
+                params = load_torch_checkpoint(cfg.ckpt_path)
+            else:
+                from difformer_tpu.train.checkpoint import restore_checkpoint
+
+                params = restore_checkpoint(
+                    cfg.ckpt_path or f"{cfg.model_dir}/{cfg.dataset}-"
+                    f"{cfg.method}", template,
+                )
             res, _ = trainer.evaluate_params(params, split_for(0))
             print(f"Eval-only: {res}")
             return [res]
