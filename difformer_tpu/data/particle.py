@@ -103,6 +103,11 @@ class GraphListDataset:
             flat[f"x_{i}"] = x
             flat[f"ei_{i}"] = ei
             flat[f"y_{i}"] = np.asarray(y)
+        # extras (node_label/pos/...) persist so cached and fresh builds
+        # return identical datasets (key layout: e_{i}__{name})
+        for i, ex in enumerate(self.extras):
+            for k, v in (ex or {}).items():
+                flat[f"e_{i}__{k}"] = np.asarray(v)
         flat["n_graphs"] = np.asarray(len(self.graphs))
         for k, v in (self.idx_split or {}).items():
             flat[f"split_{k}"] = v
@@ -117,6 +122,11 @@ class GraphListDataset:
                 (f[f"x_{i}"], f[f"ei_{i}"], float(f[f"y_{i}"]))
                 for i in range(n)
             ]
+            ds.extras = [{} for _ in range(n)]
+            for k in f.files:
+                if k.startswith("e_"):
+                    idx, key = k[len("e_"):].split("__", 1)
+                    ds.extras[int(idx)][key] = f[k]
             ds.idx_split = {
                 k[len("split_"):]: f[k] for k in f.files
                 if k.startswith("split_")

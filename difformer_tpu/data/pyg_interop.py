@@ -34,14 +34,33 @@ class _Stub:
 _STUBS: Dict[Tuple[str, str], type] = {}
 
 
+# Only globals from these packages may be resolved while unpickling a cache
+# file. The artifact is untrusted third-party content: anything outside this
+# list (os.system reducers, subprocess, ...) is refused instead of executed.
+_SAFE_TOPLEVEL = ("torch", "numpy", "collections")
+_SAFE_BUILTINS = frozenset(
+    {"set", "frozenset", "list", "dict", "tuple", "bytearray",
+     "complex", "range", "slice", "object"}
+)
+
+
 class _StubUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        if module.split(".", 1)[0] == "torch_geometric":
+        top = module.split(".", 1)[0]
+        if top == "torch_geometric":
             key = (module, name)
             if key not in _STUBS:
                 _STUBS[key] = type(name, (_Stub,), {"__module__": module})
             return _STUBS[key]
-        return super().find_class(module, name)
+        if top in _SAFE_TOPLEVEL or (
+            module == "builtins" and name in _SAFE_BUILTINS
+        ):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name} from an untrusted "
+            f"PyG cache (allowed: torch_geometric stubs, {_SAFE_TOPLEVEL}, "
+            f"safe builtins)"
+        )
 
 
 class _PickleModule:

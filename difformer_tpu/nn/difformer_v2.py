@@ -79,8 +79,11 @@ class TransConvV2(nn.Module):
             )
         elif self.kernel == "sigmoid":
             if self.crossgraph_quirk:
+                # reference to_pad (difformer-v2.py:23-28) leaves exact zeros
+                # at padded slots (sigmoid(0)=0.5 enters the normalizer) —
+                # mask q/k here to reproduce that, not the Linear bias
                 attention_output = sigmoid_attention_padded_crossgraph(
-                    query, key, value, node_mask
+                    query * mask4, key * mask4, value, node_mask
                 )
             else:
                 attention_output = sigmoid_attention_padded(

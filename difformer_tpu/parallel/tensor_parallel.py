@@ -68,6 +68,19 @@ def tp_shard_params(params, mesh: Mesh, axis: str = MODEL_AXIS):
     Requires ``num_heads * out_channels`` divisible by the axis size — the
     shard boundary must fall between heads, i.e. axis size must divide H
     (each head's D-block stays on one device)."""
+    axis_size = int(mesh.shape[axis])
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = _path_keys(path)
+        if any(k in _TP_MODULES for k in keys) and keys[-1] == "kernel":
+            out_dim = int(leaf.shape[-1])
+            if out_dim % axis_size != 0:
+                raise ValueError(
+                    f"TP mesh axis {axis!r} has size {axis_size}, which does "
+                    f"not divide the {'.'.join(keys[:-1])} output dim "
+                    f"{out_dim} (= num_heads * out_channels); pick an axis "
+                    f"size that divides num_heads so each head's D-block "
+                    f"stays on one device"
+                )
     specs = tp_param_specs(params, axis)
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs

@@ -69,6 +69,16 @@ class DistributedTrainer:
 
         ell = None
         self._node_perm = None
+        if spmm == "bsr" and balance_edges:
+            import warnings
+
+            warnings.warn(
+                "balance_edges=True is ignored with spmm='bsr': BSR shards "
+                "must stay tile-aligned (node_align=bsr_tile), which is "
+                "incompatible with degree-balanced cut points; using uniform "
+                "tile-aligned shards instead",
+                stacklevel=2,
+            )
         if spmm == "bsr":
             # block-sparse MXU hybrid (ops/bsr.py): dense adjacency tiles as
             # batched matmuls after one tiled all_gather; per-edge COO tail

@@ -23,7 +23,9 @@ import numpy as np
 
 def _np(v):
     if hasattr(v, "detach"):  # torch tensor without importing torch
-        v = v.detach().cpu().numpy()
+        # .numpy() aliases the tensor's storage — copy so in-place optimizer
+        # updates on the live torch module can't mutate converted params
+        return v.detach().cpu().numpy().copy()
     return np.asarray(v)
 
 
@@ -93,13 +95,33 @@ def torch_state_dict_from_params(params) -> dict:
 def load_torch_checkpoint(path: str) -> dict:
     """torch.load a reference checkpoint file (.pkl/.pt) and convert.
 
-    Tries the safe tensor-only loader first, falling back to full pickle
-    for old-format files."""
+    Tries the safe tensor-only loader first. Falls back to full pickle only
+    for the known legacy-format / weights-only refusal errors, and warns
+    before doing so — a file crafted to crash the safe loader must not get
+    silently executed."""
+    import pickle
+    import warnings
+
     import torch
 
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        msg = str(e)
+        legacy = (
+            "weights_only" in msg
+            or "Unsupported" in msg
+            or "legacy" in msg.lower()
+            or isinstance(e, pickle.UnpicklingError)
+        )
+        if not legacy:
+            raise
+        warnings.warn(
+            f"safe (weights_only) load of {path!r} failed with: {msg!r}; "
+            "falling back to full unpickling — only do this for checkpoint "
+            "files you trust",
+            stacklevel=2,
+        )
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # a whole module was saved
         sd = sd.state_dict()

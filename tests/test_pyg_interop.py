@@ -118,10 +118,41 @@ def test_graph_list_from_pyg_and_builder_gate(tmp_path):
     assert npz.exists()
     ds3 = GraphListDataset.load_cache("synmol", str(npz))
     np.testing.assert_array_equal(ds3[1][1], G1["ei"])
+    # extras survive the npz round-trip: cached loads match the fresh
+    # conversion (ADVICE r1: save_cache used to drop them)
+    for fresh, cached in zip(ds2.extras, ds3.extras):
+        assert set(fresh) == set(cached)
+        for k in fresh:
+            np.testing.assert_allclose(fresh[k], cached[k])
+    np.testing.assert_allclose(ds3.extras[0]["node_label"],
+                               G0["node_label"])
 
 
 def test_builder_raises_without_any_cache(tmp_path):
     with pytest.raises(ImportError, match="RDKit"):
         BUILDERS["synmol"](str(tmp_path), {})
-    with pytest.raises(ImportError, match="BioPython"):
-        BUILDERS["plbind"](str(tmp_path), {})
+
+
+def test_unpickler_refuses_unsafe_globals(tmp_path):
+    """A cache file whose pickle stream references a non-allowlisted global
+    (e.g. an os.system reducer) must be refused, not executed."""
+    import pickle
+
+    from difformer_tpu.data.pyg_interop import _StubUnpickler
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    payload = pickle.dumps(Evil())
+    import io
+
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        _StubUnpickler(io.BytesIO(payload)).load()
+
+    # posix.system also blocked (os.system pickles under the posix module)
+    safe = pickle.dumps({"a": np.arange(3)})
+    out = _StubUnpickler(io.BytesIO(safe)).load()
+    np.testing.assert_array_equal(out["a"], np.arange(3))
