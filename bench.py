@@ -7,22 +7,31 @@ Adam) of a 3-layer DIFFormer-s (h=64, the reference's proteins config,
 ``node classification/run.sh:37-39``) on a synthetic graph with
 ogbn-proteins-like shape; edges/s = E × num_layers / step_time.
 
-Default graph is a stochastic block model (BENCH_GRAPH=clustered —
-community structure like real protein/social graphs; ogbn-proteins itself
-is 8 species clusters) with the block-sparse MXU SpMM (BENCH_IMPL=bsr,
-ops/bsr.py). BENCH_GRAPH=uniform BENCH_IMPL=ell reproduces the
-locality-free worst case (i.i.d. endpoints), which sits at the measured
-per-row gather roofline (BENCH_NOTES.md). ``vs_baseline`` always compares
-against the naive reference-structure step on the SAME graph.
+Default is a SWEEP over the three graph shapes × head counts
+({clustered, powerlaw, uniform} × {H=1, H=8}), with the SpMM implementation
+auto-chosen per graph by the tile-density probe (``ops/bsr.choose_spmm``)
+and the dense-coverage score logged per row. The headline value/vs_baseline
+is the **powerlaw H=1** row — the north-star-shaped workload (heavy-tailed
+hub degrees like ogbn-proteins), not the kernel's best case:
 
-All STEPS steps run inside one jitted ``lax.scan`` so per-dispatch tunnel
-latency is amortized; timing = (second call wall time) / STEPS.
+  * clustered — stochastic block model (community structure; BSR's home turf)
+  * powerlaw  — heavy-tailed degree distribution (Pareto α=2, hubs ≈ 6k°
+    at E=4.2M — the proteins-like shape; no clean communities)
+  * uniform   — i.i.d. endpoints (locality-free worst case)
 
 ``vs_baseline`` = speedup over a naive step implementing the reference's
-structure directly (unsorted scatter, the layout a line-by-line port would
-use). Set ``BENCH_RUN_NAIVE=1`` to re-measure it in the same run (adds a
-second ~5 min compile); otherwise the constant below — measured on this
-chip with that flag — is used.
+structure directly (unsorted scatter, per-edge gather — the layout a
+line-by-line port would use) on the SAME graph at the SAME head count.
+Naive throughputs are re-measured when ``BENCH_RUN_NAIVE=1`` (adds one slow
+compile per config) and otherwise read from the constants below, each
+measured on this chip with that flag (date noted). Rows with no measured
+naive constant report ``vs_baseline: null`` rather than a guess.
+
+Setting any of BENCH_GRAPH / BENCH_IMPL / BENCH_HEADS switches to
+single-config mode (one row, old behavior) for ad-hoc probes.
+
+All STEPS steps run inside one jitted ``lax.scan`` so per-dispatch tunnel
+latency is amortized; timing = best (wall time / STEPS) over a few calls.
 
 Prints one JSON line.
 """
@@ -35,19 +44,35 @@ import time
 import numpy as np
 
 # naive (unsorted-scatter, reference-structure) edges/s measured on this
-# TPU v5 lite chip per graph kind, via BENCH_RUN_NAIVE=1 on the same graph:
-#   uniform   (2026-08-17): sorted-COO 413.7 ms at E=4.19M, L=3 (30.4M
-#             edges/s); unsorted naive 1.091x slower => 27.9M edges/s
-#   clustered (2026-08-18): naive step 471.5 ms => 26.7M edges/s
-NAIVE_EDGES_PER_S = {"uniform": 27.9e6, "clustered": 26.7e6}
+# TPU v5 lite chip per (graph, heads), via BENCH_RUN_NAIVE=1 on the same
+# graph/heads (N=131072, E=4.19M, L=3, bf16). 2026-08-20 sweep: the naive
+# program's step time is graph-shape independent (identical 471.5 ms on all
+# three H=1 graphs; 2341.0/2341.5 ms on clustered/powerlaw H=8):
+#   H=1: 471.5 ms  => 26.7M edges/s          (all graphs)
+#   H=8: 2341 ms   => 5.37M edges/s          (clustered/powerlaw measured;
+#        uniform H=8 naive is the same program shape => same constant)
+NAIVE_EDGES_PER_S = {
+    ("uniform", 1): 26.7e6,
+    ("clustered", 1): 26.7e6,
+    ("powerlaw", 1): 26.7e6,
+    ("clustered", 8): 5.37e6,
+    ("powerlaw", 8): 5.37e6,
+    ("uniform", 8): 5.37e6,
+}
+
+N_DEF = 131072
+E_DEF = 4 * 1024 * 1024
 
 
 def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
     """kind='uniform': i.i.d. endpoints — the locality worst case.
     kind='clustered': stochastic block model (communities of ``comm`` nodes
-    holding ``intra`` of the edges) — the shape of real protein/social
-    graphs (ogbn-proteins' 8 species clusters), and the case the
-    block-sparse SpMM path (ops/bsr.py) is built for."""
+    holding ``intra`` of the edges) — the shape of community-structured
+    social graphs, and the case the block-sparse SpMM path (ops/bsr.py) is
+    built for.
+    kind='powerlaw': heavy-tailed endpoint distribution (Pareto α=2 node
+    weights on both sides) — hub nodes reach ~6k° at the default E; the
+    ogbn-proteins-like shape with no clean communities."""
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(n, f)).astype(np.float32)
     if kind == "clustered":
@@ -59,6 +84,11 @@ def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
         receivers = np.concatenate(
             [(c * comm + rng.integers(0, comm, e_in)),
              rng.integers(0, n, e - e_in)]).astype(np.int32)
+    elif kind == "powerlaw":
+        w = rng.pareto(2.0, n) + 1.0
+        p = w / w.sum()
+        senders = rng.choice(n, size=e, p=p).astype(np.int32)
+        receivers = rng.choice(n, size=e, p=p).astype(np.int32)
     else:
         senders = rng.integers(0, n, e).astype(np.int32)
         receivers = rng.integers(0, n, e).astype(np.int32)
@@ -66,10 +96,10 @@ def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
     return x, senders[order], receivers[order], senders, receivers
 
 
-def main():
+def _setup_jax():
     import jax
 
-    # persistent compilation cache: the ELL program takes ~13 min to compile
+    # persistent compilation cache: big programs take minutes to compile
     # through the axon remote-compile tunnel; cached recompiles are seconds.
     cache_dir = os.environ.get(
         "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
@@ -79,66 +109,60 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+    return jax
 
+
+def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
+               steps=8, dtype="bfloat16", use_graph=True, run_naive=False,
+               tile=256, seed=0, remat=False):
+    """Measure one (graph kind, head count) operating point. Returns a dict
+    row for the detail list. ``remat=True`` checkpoints the per-layer branch
+    activations — needed when E*H*D activations exceed HBM (uniform H=8)."""
     import jax.numpy as jnp
     import optax
 
     from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.ops.bsr import choose_spmm, dense_coverage
     from difformer_tpu.train.optim import torch_adam
 
-    N = int(os.environ.get("BENCH_N", 131072))
-    E = int(os.environ.get("BENCH_E", 4 * 1024 * 1024))
-    F = 64
-    C = 112
-    LAYERS = 3
-    STEPS = int(os.environ.get("BENCH_STEPS", 8))
-    IMPL = os.environ.get("BENCH_IMPL", "bsr")      # bsr | ell | coo
-    DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | ''(f32)
-    GRAPH = os.environ.get("BENCH_GRAPH", "clustered")  # clustered | uniform
+    F, C, LAYERS = 64, 112, 3
+    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(n, e, F, seed=seed,
+                                                      kind=graph)
+    y = np.random.default_rng(1).integers(0, 2, size=(n, C)).astype(np.float32)
 
-    print(f"# bench: N={N} E={E} steps={STEPS} graph={GRAPH} impl={IMPL} "
-          f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
-    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(N, E, F, kind=GRAPH)
-    y = np.random.default_rng(1).integers(0, 2, size=(N, C)).astype(np.float32)
+    coverage = dense_coverage(s_sorted, r_sorted, n, tile=tile)
+    if impl == "auto":
+        impl, coverage = choose_spmm(s_sorted, r_sorted, n, tile=tile)
+    print(f"# [{graph} H={heads}] impl={impl} dense_coverage={coverage:.3f}",
+          file=sys.stderr, flush=True)
 
-    use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
-    HEADS = int(os.environ.get("BENCH_HEADS", 1))  # reference loops heads in
-    # Python per SpMM (difformer.py:76-78); here all heads ride one op
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
-                      num_heads=HEADS, kernel="simple", dropout=0.0,
-                      use_graph=use_graph,   # =0: attention+MLP-only split
-                      compute_dtype=DTYPE or None)
+                      num_heads=heads, kernel="simple", dropout=0.0,
+                      use_graph=use_graph, compute_dtype=dtype or None,
+                      remat=remat)
     xs = jnp.asarray(x)
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
 
     ell = None
-    if IMPL == "ell":
-        import time as _t
-
-        t0 = _t.perf_counter()
+    t0 = time.perf_counter()
+    if impl == "ell":
         from difformer_tpu.ops.ell import build_ell_gcn
 
-        ell = build_ell_gcn(s_sorted, r_sorted, N)
-        print(f"# ELL built in {_t.perf_counter() - t0:.1f}s "
+        ell = build_ell_gcn(s_sorted, r_sorted, n)
+        print(f"# ELL built in {time.perf_counter() - t0:.1f}s "
               f"buckets={ell[0].bucket_sizes}", file=sys.stderr, flush=True)
-    elif IMPL == "bsr":
-        import time as _t
-
-        t0 = _t.perf_counter()
+    elif impl == "bsr":
         from difformer_tpu.ops.bsr import build_bsr_gcn
-
-        import jax.numpy as _jnp
 
         kw = {}
         if os.environ.get("BENCH_BLOCK_BF16", "1") == "1":
-            kw["block_dtype"] = _jnp.bfloat16  # same step time, half HBM
+            kw["block_dtype"] = jnp.bfloat16  # same step time, half HBM
         if os.environ.get("BENCH_RES_TIGHT") == "0":
             kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
-        ell = build_bsr_gcn(s_sorted, r_sorted, N,
-                            tile=int(os.environ.get("BENCH_TILE", 256)),
+        ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
                             verbose=True, **kw)
-        print(f"# BSR built in {_t.perf_counter() - t0:.1f}s",
+        print(f"# BSR built in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
     def make_multi_step(senders, receivers, sorted_, use_ell=True):
@@ -166,7 +190,7 @@ def main():
                 return (params, opt_state), l
 
             (params, opt_state), ls = jax.lax.scan(
-                body, (params, opt_state), None, length=STEPS
+                body, (params, opt_state), None, length=steps
             )
             return params, opt_state, ls[-1]
 
@@ -184,8 +208,8 @@ def main():
         t0 = time.perf_counter()
         p1, o1, l = multi(params, opt_state)
         float(l)
-        print(f"# {tag}: compile+{STEPS} steps {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
+        print(f"# [{graph} H={heads}] {tag}: compile+{steps} steps "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
         # min over a few calls: per-call dispatch latency through the
         # remote-TPU tunnel is noisy (tens of ms, occasional spikes)
         best = float("inf")
@@ -193,35 +217,88 @@ def main():
             t0 = time.perf_counter()
             p1, o1, l = multi(p1, o1)
             float(l)
-            best = min(best, (time.perf_counter() - t0) / STEPS)
-        print(f"# {tag}: {best * 1e3:.1f} ms/step (min of {reps})",
-              file=sys.stderr, flush=True)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        print(f"# [{graph} H={heads}] {tag}: {best * 1e3:.1f} ms/step "
+              f"(min of {reps})", file=sys.stderr, flush=True)
         return best
 
-    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), IMPL)
-    edges_per_s = E * LAYERS / t_fast
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), impl)
+    edges_per_s = e * LAYERS / t_fast
 
-    if os.environ.get("BENCH_RUN_NAIVE") == "1":
+    naive_eps = None
+    if run_naive:
         t_naive = timeit(
             make_multi_step(s_uns, r_uns, False, use_ell=False), "naive")
-        vs_baseline = t_naive / t_fast
-    elif GRAPH in NAIVE_EDGES_PER_S and HEADS == 1:
-        # the cached naive constants were measured at H=1 only
-        vs_baseline = edges_per_s / NAIVE_EDGES_PER_S[GRAPH]
+        naive_eps = e * LAYERS / t_naive
+    elif (graph, heads) in NAIVE_EDGES_PER_S:
+        naive_eps = NAIVE_EDGES_PER_S[(graph, heads)]
+
+    return {
+        "graph": graph, "heads": heads, "impl": impl,
+        "dense_coverage": round(coverage, 3),
+        "edges_per_s": round(edges_per_s, 1),
+        "step_ms": round(t_fast * 1e3, 2),
+        "remat": remat,
+        "vs_baseline": (round(edges_per_s / naive_eps, 3)
+                        if naive_eps else None),
+        "naive_edges_per_s": (round(naive_eps, 1) if naive_eps else None),
+        "naive_measured_now": bool(run_naive),
+    }
+
+
+def main():
+    jax = _setup_jax()
+
+    steps = int(os.environ.get("BENCH_STEPS", 8))
+    n = int(os.environ.get("BENCH_N", N_DEF))
+    e = int(os.environ.get("BENCH_E", E_DEF))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    run_naive = os.environ.get("BENCH_RUN_NAIVE") == "1"
+    use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
+    tile = int(os.environ.get("BENCH_TILE", 256))
+
+    single = any(k in os.environ for k in
+                 ("BENCH_GRAPH", "BENCH_IMPL", "BENCH_HEADS"))
+    common = dict(n=n, e=e, steps=steps, dtype=dtype, use_graph=use_graph,
+                  run_naive=run_naive, tile=tile)
+    print(f"# bench: N={n} E={e} steps={steps} "
+          f"mode={'single' if single else 'sweep'} "
+          f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+
+    if single:
+        rows = [run_config(
+            jax, graph=os.environ.get("BENCH_GRAPH", "clustered"),
+            heads=int(os.environ.get("BENCH_HEADS", 1)),
+            impl=os.environ.get("BENCH_IMPL", "auto"), **common)]
+        head = rows[0]
     else:
-        vs_baseline = 1.0
+        matrix = [("clustered", 1), ("powerlaw", 1), ("uniform", 1),
+                  ("clustered", 8), ("powerlaw", 8), ("uniform", 8)]
+        rows = []
+        for g, h in matrix:
+            try:
+                rows.append(run_config(jax, graph=g, heads=h, impl="auto",
+                                       **common))
+            except Exception as err:   # e.g. HBM OOM at E*H*D activations
+                print(f"# [{g} H={h}] failed ({err}); retrying with remat",
+                      file=sys.stderr, flush=True)
+                rows.append(run_config(jax, graph=g, heads=h, impl="auto",
+                                       remat=True, **common))
+        head = next(r for r in rows
+                    if r["graph"] == "powerlaw" and r["heads"] == 1)
 
     print(json.dumps({
         "metric": "edges_per_s_per_chip",
-        "value": round(edges_per_s, 1),
+        "value": head["edges_per_s"],
         "unit": "edges/s",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": head["vs_baseline"],
         "detail": {
-            "n_nodes": N, "n_edges": E, "layers": LAYERS, "hidden": 64,
-            "heads": HEADS,
-            "impl": IMPL, "dtype": DTYPE or "float32", "graph": GRAPH,
-            "step_ms": round(t_fast * 1e3, 2),
+            "headline": {"graph": head["graph"], "heads": head["heads"],
+                         "impl": head["impl"]},
+            "n_nodes": n, "n_edges": e, "layers": 3, "hidden": 64,
+            "dtype": dtype or "float32",
             "backend": jax.default_backend(),
+            "rows": rows,
         },
     }), flush=True)
 

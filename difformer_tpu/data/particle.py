@@ -352,13 +352,32 @@ def build_synmol(root, data_config, *, seed=42) -> GraphListDataset:
 
 
 def build_plbind(root, data_config, *, seed=42) -> GraphListDataset:
-    """PLBind (plbind.py): rebuilding from raw PDB needs BioPython/pint
-    (plbind.py:26-34). Loads our npz cache or the reference's processed
-    ``data.pt`` (plbind.py:233-235) without PyG/BioPython."""
-    return _build_from_caches(
-        "plbind", root, "plbind_processed.npz", "data.pt",
-        "PLBind preprocessing from raw requires BioPython/pint "
-        "(plbind.py:26-34)",
+    """PLBind (plbind.py). Resolution order: our npz cache, the reference's
+    processed ``data.pt`` (read without PyG), or the full raw pipeline
+    (``data/plbind.py`` — pure numpy; no BioPython/RDKit/pint needed)."""
+    cache = os.path.join(root, "processed", "plbind_processed.npz")
+    if os.path.exists(cache):
+        return GraphListDataset.load_cache("plbind", cache)
+    pyg_cache = os.path.join(root, "processed", "data.pt")
+    if os.path.exists(pyg_cache):
+        from difformer_tpu.data.pyg_interop import graph_list_from_pyg
+
+        ds = graph_list_from_pyg("plbind", pyg_cache)
+        ds.save_cache(cache)
+        return ds
+    raw_index = os.path.join(root, "raw", "index",
+                             "INDEX_general_PL_data.2020")
+    if os.path.exists(raw_index):
+        from difformer_tpu.data.plbind import build_plbind_raw
+
+        ds = build_plbind_raw(root, data_config)
+        ds.save_cache(cache)
+        return ds
+    raise FileNotFoundError(
+        f"PLBind data not found under {root} (zero-egress env): provide the "
+        f"processed cache at {cache}, the reference's PyG artifact at "
+        f"{pyg_cache}, or the raw layout at {os.path.join(root, 'raw')} "
+        f"(index/pdb/split, plbind.py raw_file_names)"
     )
 
 

@@ -119,6 +119,48 @@ def gcn_conv_halo_overlap(x, plan, *, axis_name="graph"):
     return internal + boundary
 
 
+def collective_bytes_per_layer(sg, *, feat_dim, num_heads=1,
+                               dtype_bytes=4):
+    """Analytic collective wire traffic of ONE DIFFormerConv layer for each
+    boundary-exchange strategy on a partitioned graph (host-side, from the
+    plan shapes — a regression guard for the ≥80% scaling-efficiency target,
+    BASELINE.md north star; exact counts, no profiler needed).
+
+    Returns a dict (whole-mesh bytes moved per layer, forward pass):
+
+    * ``halo_wire`` — the all_to_all buffer actually shipped by
+      ``gcn_conv_halo(_overlap)``: padded send slots x feature row.
+    * ``halo_real`` — the useful (non-padding) boundary rows inside it.
+    * ``allgather`` — what ``gcn_conv_sharded``'s full feature all_gather
+      ships for the same layer: every shard's rows to every other shard.
+    * ``attn_psum`` — the two 'simple'-attention reductions ([H,M] kv-sums
+      and [H,M,D] outer products are mesh-wide psums; payload independent
+      of N — the reason the linear kernel scales).
+    """
+    import numpy as np
+
+    F = int(feat_dim) * int(num_heads)
+    S = int(sg.node_feat.shape[0])
+    n_loc = int(sg.node_feat.shape[1])
+    out = {}
+    if sg.send_idx is not None:
+        send_slots = int(np.prod(np.asarray(sg.send_idx).shape[1:]))
+        real_rows = int(np.asarray(sg.send_mask).sum())
+        # each shard ships (S-1)/S of its buffer off-chip (the self block
+        # of an all_to_all stays local)
+        out["halo_wire"] = send_slots * (S - 1) * F * dtype_bytes
+        # the plan's self-pair blocks are empty (partition.py skips j==s),
+        # so every real row crosses the wire
+        out["halo_real"] = real_rows * F * dtype_bytes
+    out["allgather"] = S * (S - 1) * n_loc * F * dtype_bytes
+    # Σk [H, M] + Σ(k v^T) [H, M, D]: ring all-reduce ≈ 2·payload per shard
+    out["attn_psum"] = (
+        2 * (num_heads * feat_dim + num_heads * feat_dim * feat_dim)
+        * dtype_bytes * 2 * max(S - 1, 0)
+    )
+    return out
+
+
 def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
     """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
 

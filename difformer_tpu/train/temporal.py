@@ -12,9 +12,17 @@ Reference loop: ``spatial-temporal/main.py:87-145``. Two optimization modes
 Early stopping on validation cost with best-state restore
 (``main.py:127-143``). Per-snapshot graph rebuild (``--special_treat``
 knn/dense, ``main.py:96-104``) is a data-layer transform here
-(``rebuild='knn'|'dense'``). Snapshots with shared shapes jit-compile once;
-varying edge counts are padded to buckets by the caller or via
-``pad_snapshots``.
+(``rebuild='knn'|'dense'``).
+
+TPU-native engine shape: snapshots are padded once to a single static shape
+(``pad_snapshots``), then the whole epoch — all T snapshots plus the
+optimizer update(s) — compiles to ONE jitted ``lax.scan`` program per mode
+(``use_scan=True``, default). One device dispatch per epoch instead of T+1:
+through a high-latency link (e.g. the axon tunnel at 20-40 ms/dispatch,
+BENCH_NOTES.md) a ~500-snapshot chickenpox epoch is dispatch-bound in the
+per-snapshot form. The python-loop path (``use_scan=False``) is kept as a
+debuggable fallback and as the ragged-shape escape hatch; both produce
+bit-identical losses (same rng split sequence, same accumulation order).
 """
 
 from __future__ import annotations
@@ -85,12 +93,14 @@ class TemporalTrainer:
     """
 
     def __init__(self, model, *, lr=1e-2, weight_decay=5e-4,
-                 mode="cumulative", rebuild="none", seed=123):
+                 mode="cumulative", rebuild="none", seed=123,
+                 use_scan=True):
         self.model = model
         self.tx = torch_adam(lr, weight_decay)
         self.mode = mode
         self.rebuild = rebuild
         self.seed = seed
+        self.use_scan = use_scan
 
         def snap_loss(params, x, s, r, w, em, y, rng):
             out = self.model.apply(
@@ -100,6 +110,7 @@ class TemporalTrainer:
             return jnp.mean((out.reshape(y.shape) - y) ** 2)
 
         self._grad = jax.jit(jax.value_and_grad(snap_loss))
+        grad_fn = jax.value_and_grad(snap_loss)
 
         def eval_cost(params, x, s, r, w, em, y):
             out = self.model.apply(
@@ -116,6 +127,55 @@ class TemporalTrainer:
 
         self._apply_updates = apply_updates
 
+        def _batch(data, t=slice(None)):
+            return (data["x"][t], data["senders"][t], data["receivers"][t],
+                    data["edge_weight"][t], data["edge_mask"][t], data["y"][t])
+
+        self._batch = _batch
+
+        # --- whole-epoch scan programs (one dispatch per epoch) -----------
+        def epoch_cumulative(params, opt_state, data, rng):
+            T = data["x"].shape[0]
+
+            def body(carry, batch):
+                rng, acc = carry
+                rng, sk = jax.random.split(rng)
+                c, g = grad_fn(params, *batch, sk)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (rng, acc), c
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (_, acc), costs = jax.lax.scan(body, (rng, zeros), _batch(data))
+            acc = jax.tree_util.tree_map(lambda a: a / T, acc)
+            updates, opt_state = self.tx.update(acc, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, costs.mean()
+
+        def epoch_incremental(params, opt_state, data, rng):
+            def body(carry, batch):
+                params, opt_state, rng = carry
+                rng, sk = jax.random.split(rng)
+                c, g = grad_fn(params, *batch, sk)
+                updates, opt_state = self.tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), c
+
+            (params, opt_state, _), costs = jax.lax.scan(
+                body, (params, opt_state, rng), _batch(data))
+            return params, opt_state, costs.mean()
+
+        def epoch_eval(params, data):
+            def body(_, batch):
+                return None, eval_cost(params, *batch)
+
+            _, costs = jax.lax.scan(body, None, _batch(data))
+            return costs.mean()
+
+        # no buffer donation: ``fit`` keeps a live reference to the previous
+        # params as the best-val restore point (main.py:130-143 parity)
+        self._epoch_cumulative = jax.jit(epoch_cumulative)
+        self._epoch_incremental = jax.jit(epoch_incremental)
+        self._epoch_eval = jax.jit(epoch_eval)
+
     def _prep(self, snaps):
         snaps = [rebuild_graph(s, self.rebuild) for s in snaps]
         return pad_snapshots(snaps)
@@ -130,6 +190,11 @@ class TemporalTrainer:
         return variables["params"]
 
     def epoch_train(self, params, opt_state, data, rng):
+        if self.use_scan:
+            fn = (self._epoch_cumulative if self.mode == "cumulative"
+                  else self._epoch_incremental)
+            params, opt_state, cost = fn(params, opt_state, data, rng)
+            return params, opt_state, float(cost)
         T = data["x"].shape[0]
         # costs stay on device inside the snapshot loop — a float() there
         # would sync per snapshot and serialize host dispatch with compute
@@ -162,6 +227,8 @@ class TemporalTrainer:
         return params, opt_state, float(jnp.stack(costs).mean())
 
     def evaluate(self, params, data):
+        if self.use_scan:
+            return float(self._epoch_eval(params, data))
         T = data["x"].shape[0]
         costs = [
             self._eval(

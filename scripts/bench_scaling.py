@@ -9,10 +9,18 @@ On real multi-chip hardware run as-is (one process per host with
 virtual CPU devices — correctness/compile validation only (CPU timings do
 not reflect ICI).
 
-  python scripts/bench_scaling.py --cpu 8 --n 32768 --e 262144
+Each row also records the analytic per-layer collective traffic
+(``parallel.sharded_ops.collective_bytes_per_layer``): the halo all_to_all
+wire bytes vs what a full-feature all_gather would ship — the regression
+guard for the ≥80% scaling-efficiency target until multi-host hardware
+exists. ``--json PATH`` writes the rows as a JSON artifact.
+
+  python scripts/bench_scaling.py --cpu 8 --n 32768 --e 262144 \
+      --graph clustered --json SCALING_r02.json
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -29,6 +37,9 @@ def main():
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--graph", default="uniform",
+                   choices=["uniform", "clustered", "powerlaw"])
+    p.add_argument("--json", default="", help="write rows to this path")
     args = p.parse_args()
 
     if args.cpu:
@@ -50,10 +61,18 @@ def main():
 
     n_dev = len(jax.devices())
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(args.n, args.hidden)).astype(np.float32)
-    ei = np.stack([
-        rng.integers(0, args.n, args.e), rng.integers(0, args.n, args.e),
-    ]).astype(np.int64)
+    if args.graph == "uniform":
+        x = rng.normal(size=(args.n, args.hidden)).astype(np.float32)
+        ei = np.stack([
+            rng.integers(0, args.n, args.e), rng.integers(0, args.n, args.e),
+        ]).astype(np.int64)
+    else:
+        from bench import build_graph
+
+        comm = max(32, args.n // 64)
+        x, s_sorted, r_sorted, _, _ = build_graph(
+            args.n, args.e, args.hidden, kind=args.graph, comm=comm)
+        ei = np.stack([s_sorted, r_sorted]).astype(np.int64)
     y = rng.integers(0, 8, args.n)
     mask = np.ones(args.n, bool)
     tx = torch_adam(1e-2, 0.0)
@@ -74,7 +93,10 @@ def main():
         train=False,
     )
 
+    from difformer_tpu.parallel.sharded_ops import collective_bytes_per_layer
+
     results = {}
+    rows = []
     shards = [s for s in [1, 2, 4, 8, 16, 32] if s <= n_dev]
     for s in shards:
         mesh = make_mesh((s,), ("graph",), devices=jax.devices()[:s])
@@ -83,6 +105,7 @@ def main():
                           axis_name="graph")
         sg = partition_graph(x, ei, s, labels=y, label_mask=mask,
                              build_halo=True)
+        comm = collective_bytes_per_layer(sg, feat_dim=args.hidden)
         step = make_sharded_train_step(model, mesh, tx, loss_fn)
         # fresh copy per shard count — the step donates params/opt buffers
         params = jax.tree_util.tree_map(jnp.array, variables["params"])
@@ -97,9 +120,35 @@ def main():
         eps = args.e * args.layers / dt
         results[s] = eps
         base = results[shards[0]] * s / shards[0]
+        row = {
+            "shards": s, "ms_step": round(dt * 1e3, 1),
+            "edges_per_s": round(eps, 1),
+            "efficiency_vs_linear": round(eps / base, 4),
+            "halo_wire_bytes_per_layer": comm.get("halo_wire", 0),
+            "halo_real_bytes_per_layer": comm.get("halo_real", 0),
+            "allgather_bytes_per_layer": comm["allgather"],
+            "attn_psum_bytes_per_layer": comm["attn_psum"],
+        }
+        rows.append(row)
         print(f"shards={s:3d}  {dt * 1e3:8.1f} ms/step  "
               f"{eps / 1e6:8.1f}M edges/s  "
-              f"efficiency={eps / base * 100:5.1f}%", flush=True)
+              f"efficiency={eps / base * 100:5.1f}%  "
+              f"halo/allgather="
+              f"{comm.get('halo_wire', 0) / max(comm['allgather'], 1):.3f}",
+              flush=True)
+
+    if args.json:
+        artifact = {
+            "graph": args.graph, "n_nodes": args.n, "n_edges": args.e,
+            "hidden": args.hidden, "layers": args.layers,
+            "backend": jax.default_backend(), "n_devices": n_dev,
+            "note": ("CPU-mesh proxy: correctness + comm-volume regression "
+                     "guard; timings do not reflect ICI"),
+            "rows": rows,
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":

@@ -169,3 +169,30 @@ def test_sharded_train_step_runs_and_learns(rng, mesh):
         params, opt_state, loss = step(params, opt_state, sg, sk)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_halo_bytes_much_less_than_allgather_on_clustered_graph():
+    """On a community-structured graph the boundary set is a small fraction
+    of the nodes, so the halo all_to_all must ship far less than the full
+    feature all_gather (the point of the plan; VERDICT r1 item 7)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import build_graph
+    from difformer_tpu.parallel.partition import partition_graph
+    from difformer_tpu.parallel.sharded_ops import collective_bytes_per_layer
+
+    n, e = 4096, 32768
+    x, s_sorted, r_sorted, _, _ = build_graph(n, e, 8, kind="clustered",
+                                              comm=512, intra=0.9)
+    ei = np.stack([s_sorted, r_sorted])
+    sg = partition_graph(x, ei, 8, build_halo=True)
+    comm = collective_bytes_per_layer(sg, feat_dim=64)
+    assert comm["halo_wire"] > 0
+    # 512-node communities align with 512-node shards: ~90% of edges are
+    # internal, so boundary rows ≪ all nodes
+    assert comm["halo_wire"] < 0.5 * comm["allgather"], comm
+    assert comm["halo_real"] <= comm["halo_wire"]
+    # psum payload is N-independent and tiny
+    assert comm["attn_psum"] < comm["allgather"] / 10

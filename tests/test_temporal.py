@@ -84,3 +84,36 @@ def test_rebuild_knn_mode():
     tr = TemporalTrainer(model, lr=5e-3, rebuild="knn")
     res = tr.fit(train, val, test, epochs=5, early_stopping=5)
     assert np.isfinite(res["test"])
+
+
+def test_scan_epoch_matches_python_loop():
+    """The one-dispatch lax.scan epoch (use_scan=True, default) produces the
+    same losses and trained params as the per-snapshot python loop, for both
+    optimization modes and with dropout active (same rng split sequence)."""
+    snaps = random_temporal_sequence(N, 10, F, seed=3)
+    for mode in ("cumulative", "incremental"):
+        model = DIFFormer(hidden_channels=8, out_channels=1, num_layers=2,
+                          dropout=0.3, kernel="simple")
+        results = {}
+        for use_scan in (True, False):
+            tr = TemporalTrainer(model, lr=1e-2, weight_decay=5e-4,
+                                 mode=mode, use_scan=use_scan)
+            data = tr._prep(snaps)
+            params = tr.init_params(snaps[0])
+            opt_state = tr.tx.init(params)
+            rng = jax.random.PRNGKey(7)
+            costs = []
+            for _ in range(3):
+                rng, sk = jax.random.split(rng)
+                params, opt_state, c = tr.epoch_train(
+                    params, opt_state, data, sk)
+                costs.append(c)
+            results[use_scan] = (costs, params, tr.evaluate(params, data))
+        c_scan, p_scan, e_scan = results[True]
+        c_loop, p_loop, e_loop = results[False]
+        np.testing.assert_allclose(c_scan, c_loop, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(e_scan, e_loop, rtol=1e-6, atol=1e-7)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            p_scan, p_loop)
