@@ -133,8 +133,24 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     coverage = dense_coverage(s_sorted, r_sorted, n, tile=tile)
     if impl == "auto":
         impl, coverage = choose_spmm(s_sorted, r_sorted, n, tile=tile)
-    print(f"# [{graph} H={heads}] impl={impl} dense_coverage={coverage:.3f}",
-          file=sys.stderr, flush=True)
+    if impl == "bsr-sorted":
+        # hub-clustering relabel (ops/bsr.degree_sorted_order): permute
+        # features/labels once on host; training is equivalent up to node
+        # order, and hub blocks become dense tiles for the MXU path
+        from difformer_tpu.ops.bsr import degree_sorted_order
+
+        perm = degree_sorted_order(s_uns, r_uns, n)
+        inv = np.argsort(perm)
+        x, y = x[inv], y[inv]
+        s_uns, r_uns = perm[s_uns].astype(np.int32), perm[r_uns].astype(np.int32)
+        order = np.argsort(r_uns, kind="stable")
+        s_sorted, r_sorted = s_uns[order], r_uns[order]
+        impl = "bsr"
+        impl_label = "bsr-sorted"
+    else:
+        impl_label = impl
+    print(f"# [{graph} H={heads}] impl={impl_label} "
+          f"dense_coverage={coverage:.3f}", file=sys.stderr, flush=True)
 
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
                       num_heads=heads, kernel="simple", dropout=0.0,
@@ -234,7 +250,7 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         naive_eps = NAIVE_EDGES_PER_S[(graph, heads)]
 
     return {
-        "graph": graph, "heads": heads, "impl": impl,
+        "graph": graph, "heads": heads, "impl": impl_label,
         "dense_coverage": round(coverage, 3),
         "edges_per_s": round(edges_per_s, 1),
         "step_ms": round(t_fast * 1e3, 2),
@@ -269,7 +285,8 @@ def main():
         rows = [run_config(
             jax, graph=os.environ.get("BENCH_GRAPH", "clustered"),
             heads=int(os.environ.get("BENCH_HEADS", 1)),
-            impl=os.environ.get("BENCH_IMPL", "auto"), **common)]
+            impl=os.environ.get("BENCH_IMPL", "auto"),
+            remat=os.environ.get("BENCH_REMAT") == "1", **common)]
         head = rows[0]
     else:
         matrix = [("clustered", 1), ("powerlaw", 1), ("uniform", 1),

@@ -208,6 +208,20 @@ def run_node_task(cfg: Config):
                 spmm, cov = choose_spmm(g_sorted[0], g_sorted[1], n,
                                         tile=cfg.bsr_tile)
                 print(f"spmm=auto: dense-tile coverage {cov:.2f} -> {spmm}")
+            if spmm == "bsr-sorted":
+                # hub-clustering relabel (heavy-tailed graphs): permute the
+                # whole task once on host, then run plain BSR; composes with
+                # any earlier --reorder permutation
+                from difformer_tpu.data.transforms import (
+                    locality_reorder, permute_graph)
+
+                p2 = locality_reorder(ei, n, method="degree")
+                ei, x, label = permute_graph(p2, ei, x, label)
+                perm = p2 if perm is None else p2[perm]
+                graph = GraphData.from_numpy(x, ei)
+                g_sorted = (np.asarray(graph.senders),
+                            np.asarray(graph.receivers))
+                spmm = "bsr"
             if spmm == "bsr":
                 from difformer_tpu.ops.bsr import build_bsr_gcn
 

@@ -320,34 +320,125 @@ def build_tau3mu(root, data_config, *, seed=42) -> GraphListDataset:
     return ds
 
 
-def _build_from_caches(name, root, npz_name, pyg_name, gate_msg):
-    """Resolve a gated dataset from (in order): our npz cache, or the
-    reference's collated PyG ``processed/data.pt`` (read without PyG via
-    ``data/pyg_interop.py`` and re-cached as npz)."""
-    cache = os.path.join(root, "processed", npz_name)
-    if os.path.exists(cache):
-        return GraphListDataset.load_cache(name, cache)
-    pyg_cache = os.path.join(root, "processed", pyg_name)
-    if os.path.exists(pyg_cache):
-        from difformer_tpu.data.pyg_interop import graph_list_from_pyg
+# reference synmol.py:23
+SYNMOL_ATOM_TYPES = ["C", "N", "O", "S", "F", "P", "Cl", "Br", "Na", "Ca",
+                     "I", "B", "H", "*"]
 
-        ds = graph_list_from_pyg(name, pyg_cache)
-        ds.save_cache(cache)
-        return ds
-    raise ImportError(
-        f"{gate_msg}; provide the processed cache at {cache} or the "
-        f"reference's PyG artifact at {pyg_cache}"
-    )
+
+def _synmol_positions(raw_dir, idx, smiles, seed):
+    """3-D conformer positions for molecule ``idx``. RDKit path = the
+    reference's ETKDG embed + MMFF optimize (synmol.py:96-107); without
+    RDKit, a user-provided ``positions.npz`` (object array 'pos' of [n,3]
+    arrays, or per-molecule 'pos_{idx}' keys) substitutes. Returns None when
+    embedding fails (the reference skips those molecules)."""
+    try:
+        from rdkit import Chem
+        from rdkit.Chem import AllChem
+    except ImportError:
+        pos_file = os.path.join(raw_dir, "positions.npz")
+        if not os.path.exists(pos_file):
+            raise ImportError(
+                "SynMol conformer generation requires RDKit "
+                "(synmol.py:96-107); alternatively provide precomputed "
+                f"coordinates at {pos_file}"
+            )
+        with np.load(pos_file, allow_pickle=True) as f:
+            if f"pos_{idx}" in f.files:
+                return np.asarray(f[f"pos_{idx}"], np.float32)
+            return np.asarray(f["pos"][idx], np.float32)
+    mol = Chem.MolFromSmiles(smiles)
+    m = Chem.AddHs(mol)
+    if AllChem.EmbedMolecule(m, randomSeed=seed) < 0:
+        return None
+    if AllChem.MMFFOptimizeMolecule(m, maxIters=1000) < 0:
+        return None
+    m = Chem.RemoveHs(m)
+    return np.asarray(m.GetConformer().GetPositions(), np.float32)
+
+
+def build_synmol_raw(root, data_config, *, seed=42) -> GraphListDataset:
+    """Process the SynMol raw layout (synmol.py:72-125): one-hot atom nodes
+    -> categorical index, attribution node labels, reference split protocol
+    (shuffle train_index under np seed, last 1000 -> valid), features =
+    atom-index ⊕ pos, pos×5, kNN(k=5, self-loops). Only the conformer
+    coordinates need RDKit — everything else is numpy
+    (see :func:`_synmol_positions` for the no-RDKit substitute)."""
+    import pandas as pd
+
+    raw = os.path.join(root, "raw")
+    all_y = np.load(os.path.join(raw, "y_true.npz"), allow_pickle=True)["y"]
+    all_x = np.load(os.path.join(raw, "x_true.npz"),
+                    allow_pickle=True)["datadict_list"][0]
+    all_exp = np.load(
+        os.path.join(raw, "true_raw_attribution_datadicts.npz"),
+        allow_pickle=True)["datadict_list"]
+    mol_df = pd.read_csv(os.path.join(raw, "logic8_smiles.csv"))
+    raw_split = dict(np.load(os.path.join(raw, "logic8_traintest_indices.npz"),
+                             allow_pickle=True))
+
+    # split protocol (synmol.py:127-146): shuffle train under the np seed,
+    # last 1000 to valid
+    np.random.seed(seed)
+    train_val = raw_split["train_index"]
+    order = np.arange(len(train_val))
+    np.random.shuffle(order)
+    split_of = {}
+    for i in train_val[order[:-1000]]:
+        split_of[int(i)] = "train"
+    for i in train_val[order[-1000:]]:
+        split_of[int(i)] = "valid"
+    for i in raw_split["test_index"]:
+        split_of[int(i)] = "test"
+
+    ds = GraphListDataset("synmol")
+    idx_split = {"train": [], "valid": [], "test": []}
+    cnt = 0
+    for idx, data in enumerate(all_x):
+        onehot = np.asarray(data["nodes"])
+        atom_idx = np.argwhere(onehot == 1)[:, 1].astype(np.float32)
+        y = float(np.asarray(all_y[idx]).reshape(-1)[0])
+        node_label = np.asarray(all_exp[idx][0]["nodes"][:, -1], np.float32)
+        pos = _synmol_positions(raw, idx, mol_df.iloc[idx]["smiles"], seed)
+        if pos is None:
+            continue                         # embed/optimize failure skipped
+        assert atom_idx.shape[0] == pos.shape[0], (idx, atom_idx.shape,
+                                                   pos.shape)
+        x = np.concatenate([atom_idx[:, None], pos], axis=1)  # synmol.py:113
+        pos = pos * 5.0                                       # synmol.py:116
+        ei = knn_graph(pos, k=min(5, pos.shape[0]), include_self=True)
+        ds.graphs.append((x.astype(np.float32), ei, y))
+        ds.extras.append({"pos": pos.astype(np.float32),
+                          "node_label": node_label})
+        idx_split[split_of[idx]].append(cnt)
+        cnt += 1
+    ds.idx_split = {k: np.asarray(v, np.int64) for k, v in idx_split.items()}
+    return ds
 
 
 def build_synmol(root, data_config, *, seed=42) -> GraphListDataset:
-    """SynMol (synmol.py): rebuilding from raw SMILES needs RDKit's 3D
-    conformer embedding (synmol.py:96-107, not in this image). Loads our npz
-    cache or the reference's processed ``data.pt`` (synmol.py:124-125) —
-    the latter needs neither RDKit nor torch_geometric here."""
-    return _build_from_caches(
-        "synmol", root, "synmol_processed.npz", "data.pt",
-        "SynMol preprocessing from raw requires RDKit (synmol.py:96-107)",
+    """SynMol (synmol.py). Resolution order: our npz cache, the reference's
+    processed ``data.pt`` (read without PyG), or the raw pipeline
+    (:func:`build_synmol_raw` — RDKit only for conformers, with a
+    positions-file substitute)."""
+    cache = os.path.join(root, "processed", "synmol_processed.npz")
+    if os.path.exists(cache):
+        return GraphListDataset.load_cache("synmol", cache)
+    pyg_cache = os.path.join(root, "processed", "data.pt")
+    if os.path.exists(pyg_cache):
+        from difformer_tpu.data.pyg_interop import graph_list_from_pyg
+
+        ds = graph_list_from_pyg("synmol", pyg_cache)
+        ds.save_cache(cache)
+        return ds
+    if os.path.exists(os.path.join(root, "raw", "x_true.npz")):
+        ds = build_synmol_raw(root, data_config, seed=seed)
+        ds.save_cache(cache)
+        return ds
+    raise ImportError(
+        f"SynMol data not found under {root} (zero-egress env): provide the "
+        f"processed cache at {cache}, the reference's PyG artifact at "
+        f"{pyg_cache}, or the raw layout (x_true.npz etc.; conformer "
+        f"generation needs RDKit, synmol.py:96-107, or a positions.npz)"
     )
 
 

@@ -273,7 +273,10 @@ def locality_reorder(edge_index, num_nodes, method="rcm"):
         rest = np.flatnonzero(~seen)
         order = np.concatenate([order, rest])
     elif method == "degree":
-        deg = np.bincount(ei[1], minlength=num_nodes)
+        # total (in+out) degree so hubs cluster in BOTH SpMM directions
+        # (the BSR hybrid builds fwd and rev operators)
+        deg = (np.bincount(ei[0], minlength=num_nodes)
+               + np.bincount(ei[1], minlength=num_nodes))
         order = np.argsort(-deg, kind="stable")
     else:
         raise ValueError(f"unknown reorder method {method!r}")

@@ -105,54 +105,96 @@ class Config:
 # Per-dataset presets distilled from the reference run.sh matrices
 # (node classification/run.sh:4-77, image and text/run.sh, spatial-temporal/
 # run.sh, physical particle/run.sh) — see BASELINE.md for the table.
+# Each preset is the exact DIFFormer-s row of the reference's run.sh
+# (kernel-specific variants differ only in flags the user passes on top).
+# Flags absent from a run.sh line fall back to that track's parse.py
+# defaults (node/image-text: store_true booleans default False, dropout 0.0).
 PRESETS = {
+    # node classification/run.sh:4-6
     "cora": dict(rand_split_class=True, label_num_per_class=20, metric="acc",
-                 method="difformer", kernel="simple", hidden_channels=64,
-                 num_layers=8, num_heads=1, alpha=0.5, lr=0.001,
+                 hidden_channels=64, num_layers=8, lr=0.001,
                  weight_decay=0.01, dropout=0.2, epochs=500, runs=5,
-                 use_bn=True, use_residual=True, use_graph=True,
-                 use_weight=True),
+                 seed=123),
+    # run.sh:15-17
     "citeseer": dict(rand_split_class=True, label_num_per_class=20,
                      metric="acc", hidden_channels=64, num_layers=4,
-                     lr=0.001, weight_decay=0.01, dropout=0.3, epochs=500,
-                     runs=5),
+                     lr=0.001, weight_decay=1.0, dropout=0.2, epochs=500,
+                     runs=5, seed=123),
+    # run.sh:26-28
     "pubmed": dict(rand_split_class=True, label_num_per_class=20,
-                   metric="acc", hidden_channels=64, num_layers=8, lr=0.005,
-                   weight_decay=5e-4, dropout=0.3, epochs=500, runs=5),
+                   metric="acc", hidden_channels=64, num_layers=8, lr=0.001,
+                   weight_decay=1e-4, dropout=0.2, epochs=500, runs=5,
+                   seed=123),
+    # run.sh:37-39 (--use_bn IS passed; dropout = parse.py default 0.0)
     "ogbn-proteins": dict(metric="rocauc", hidden_channels=64, num_layers=3,
-                          lr=0.01, dropout=0.2, use_minibatch=True,
-                          batch_size=10000, epochs=1000, eval_step=9,
-                          use_bn=False, weight_decay=0.0),
-    "pokec": dict(metric="acc", hidden_channels=128, num_layers=3, lr=0.01,
+                          lr=0.01, weight_decay=0.0, dropout=0.0,
+                          use_minibatch=True, batch_size=10000, epochs=1000,
+                          eval_step=9, runs=5, seed=123),
+    # run.sh:42-44 (random 50/25/25 splits)
+    "pokec": dict(rand_split=True, metric="acc", hidden_channels=128,
+                  num_layers=3, lr=0.01, weight_decay=0.0, dropout=0.0,
                   use_minibatch=True, batch_size=100000, epochs=500,
-                  eval_step=9, use_bn=False, weight_decay=0.0),
-    "chameleon": dict(metric="acc", graph_weight=0.8, kernel="simple",
-                      hidden_channels=64, num_layers=2, lr=0.01, runs=10),
-    "squirrel": dict(metric="acc", graph_weight=0.8, hidden_channels=64,
-                     num_layers=2, lr=0.01, runs=10),
-    "film": dict(metric="acc", graph_weight=0.7, hidden_channels=64,
-                 num_layers=2, lr=0.01, runs=10),
+                  eval_step=9, runs=5, seed=123),
+    # run.sh:47-50 (film: NO --use_graph)
+    "film": dict(metric="acc", use_graph=False, hidden_channels=64,
+                 num_layers=2, lr=0.001, weight_decay=0.1, dropout=0.5,
+                 epochs=300, seed=42, runs=5),
+    # run.sh:57-60 (squirrel: no --use_bn/--use_residual)
+    "squirrel": dict(metric="acc", graph_weight=0.8, use_bn=False,
+                     use_residual=False, hidden_channels=64, num_layers=2,
+                     lr=0.01, weight_decay=1e-4, dropout=0.5, epochs=300,
+                     seed=42, runs=10),
+    # run.sh:67-70
+    "chameleon": dict(metric="acc", graph_weight=0.7, use_bn=False,
+                      use_residual=False, hidden_channels=128, num_layers=2,
+                      lr=0.01, weight_decay=1e-4, dropout=0.2, epochs=300,
+                      seed=42, runs=10),
+    # image and text/run.sh:7-10 (NO --use_graph: pure set encoder; the kNN
+    # graph only serves methods that do pass use_graph)
     "stl10": dict(task="set", rand_split_class=True, valid_num=1000,
-                  test_num=-1, hidden_channels=400, num_layers=2, knn_k=5,
-                  lr=0.001, runs=5),
+                  test_num=-1, use_graph=False, hidden_channels=400,
+                  num_layers=2, knn_k=5, lr=5e-4, weight_decay=0.1,
+                  dropout=0.0, epochs=600, runs=5, seed=123),
+    # run.sh:25-28
     "cifar10": dict(task="set", rand_split_class=True, valid_num=1000,
-                    test_num=-1, hidden_channels=300, num_layers=2, knn_k=5,
-                    lr=0.001, runs=5),
+                    test_num=-1, use_graph=False, hidden_channels=300,
+                    num_layers=2, knn_k=5, lr=1e-4, weight_decay=0.1,
+                    dropout=0.0, epochs=600, runs=5, seed=123),
+    # run.sh:45-48
     "20news": dict(task="set", rand_split_class=True, valid_num=1000,
-                   test_num=-1, hidden_channels=300, num_layers=2, knn_k=5,
-                   lr=0.001, runs=5),
+                   test_num=-1, use_graph=False, hidden_channels=300,
+                   num_layers=2, knn_k=5, lr=5e-4, weight_decay=0.1,
+                   dropout=0.0, epochs=600, runs=5, seed=42),
+    # spatial-temporal/run.sh:4-6 (s w/ graph)
     "chickenpox": dict(task="temporal", metric="mse", hidden_channels=4,
-                       num_layers=2, lr=0.01, early_stopping=20),
+                       num_layers=2, lr=0.01, weight_decay=0.0, dropout=0.2,
+                       early_stopping=20, seed=123),
+    # run.sh:20-22
     "covid": dict(task="temporal", metric="mse", hidden_channels=4,
-                  num_layers=2, lr=0.01),
+                  num_layers=2, lr=0.01, weight_decay=0.0, dropout=0.2,
+                  seed=123),
+    # run.sh:34-36
     "wikimath": dict(task="temporal", metric="mse", hidden_channels=4,
-                     num_layers=2, lr=0.01, temporal_mode="incremental"),
-    "actstrack": dict(task="graph", metric="rocauc", hidden_channels=64,
-                      num_layers=2, batch_size=1024, lr=1e-3, epochs=100),
-    "tau3mu": dict(task="graph", metric="rocauc", hidden_channels=64,
-                   num_layers=2, batch_size=8192, lr=5e-4, epochs=100),
-    "synmol": dict(task="graph", metric="rocauc", hidden_channels=64,
-                   num_layers=2, batch_size=8192, lr=1e-3, epochs=100),
+                     num_layers=2, lr=0.005, weight_decay=0.0, dropout=0.0,
+                     temporal_mode="incremental", seed=123),
+    # physical particle/run.sh:2-6
+    "actstrack": dict(task="graph", metric="rocauc", rand_split_class=True,
+                      hidden_channels=64, num_layers=2, batch_size=1024,
+                      lr=0.0015, weight_decay=1e-3, dropout=0.4,
+                      graph_pooling="mean", epochs=150, runs=3, seed=42,
+                      train_prop=0.5, valid_prop=0.25, display_step=10),
+    # run.sh:15-19
+    "tau3mu": dict(task="graph", metric="rocauc", rand_split_class=True,
+                   hidden_channels=64, num_layers=2, batch_size=8192,
+                   lr=0.015, weight_decay=5e-5, dropout=0.3,
+                   graph_pooling="mean", epochs=100, runs=3, seed=42,
+                   train_prop=0.5, valid_prop=0.25, display_step=10),
+    # run.sh:29-33
+    "synmol": dict(task="graph", metric="rocauc", rand_split_class=True,
+                   hidden_channels=64, num_layers=2, batch_size=8192,
+                   lr=0.01, weight_decay=1e-4, dropout=0.3, alpha=0.3,
+                   graph_pooling="mean", epochs=150, runs=3, seed=42,
+                   train_prop=0.5, valid_prop=0.25, display_step=10),
 }
 
 

@@ -236,3 +236,93 @@ def test_choose_spmm_auto():
     impl, cov = choose_spmm(ei_c[0], ei_c[1], 512, tile=64)
     assert impl == "bsr" and cov > 0.8
     assert dense_coverage(np.zeros(0, int), np.zeros(0, int), 16) == 0.0
+
+
+def test_degree_sorted_order_and_auto_choice():
+    """Hub-clustering relabel: perm is a valid permutation with hubs first,
+    and choose_spmm upgrades a heavy-tailed coverage-0 graph to
+    'bsr-sorted' (VERDICT r1 item 3 north-star shape)."""
+    from difformer_tpu.ops.bsr import (
+        choose_spmm,
+        degree_sorted_order,
+        dense_coverage,
+    )
+
+    rng = np.random.default_rng(0)
+    # avg degree 16 over 65k nodes: uniformly tile-sparse (raw coverage
+    # ~0.007 at tile=128) but hub-clustered coverage ~0.31
+    n, e = 65536, 1048576
+    w = rng.pareto(2.0, n) + 1.0
+    p = w / w.sum()
+    s = rng.choice(n, size=e, p=p).astype(np.int64)
+    r = rng.choice(n, size=e, p=p).astype(np.int64)
+
+    perm = degree_sorted_order(s, r, n)
+    assert sorted(perm) == list(range(n))        # a true permutation
+    deg = np.bincount(s, minlength=n) + np.bincount(r, minlength=n)
+    new_pos_of_hub = perm[np.argmax(deg)]
+    assert new_pos_of_hub == 0                   # biggest hub leads
+
+    cov_raw = dense_coverage(s, r, n, tile=128)
+    cov_sorted = dense_coverage(perm[s], perm[r], n, tile=128)
+    assert cov_sorted > cov_raw + 0.2
+    mode, cov = choose_spmm(s, r, n, tile=128)
+    assert mode == "bsr-sorted"
+    assert cov == pytest.approx(cov_sorted)
+    mode_ns, _ = choose_spmm(s, r, n, tile=128, try_degree_sort=False)
+    assert mode_ns == "ell"
+
+
+def test_bsr_spmm_parity_on_degree_sorted_powerlaw(rng):
+    """The BSR hybrid on a hub-clustered power-law graph matches the dense
+    reference conv (the tail rides the residual ELL path)."""
+    from difformer_tpu.ops.bsr import build_bsr_gcn, bsr_spmm, degree_sorted_order
+    from difformer_tpu.ops.graph_ops import gcn_conv
+
+    n, e = 512, 8192
+    w = rng.pareto(2.0, n) + 1.0
+    p = w / w.sum()
+    s = rng.choice(n, size=e, p=p).astype(np.int64)
+    r = rng.choice(n, size=e, p=p).astype(np.int64)
+    perm = degree_sorted_order(s, r, n)
+    s, r = perm[s], perm[r]
+    order = np.argsort(r, kind="stable")
+    s, r = s[order], r[order]
+
+    x = jnp.asarray(rng.normal(size=(n, 1, 16)).astype(np.float32))
+    fwd, rev = build_bsr_gcn(s, r, n, tile=64, min_edges=16)
+    got = bsr_spmm(fwd, rev, x)
+    want = gcn_conv(x, jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_row_cap_spills_to_residual_correctly(rng):
+    """With a binding max-blocks-per-row budget, demoted tiles ride the
+    residual ELL and the result is unchanged (the HBM guard for hub
+    row-tiles on power-law graphs)."""
+    from difformer_tpu.ops.bsr import build_bsr_gcn, bsr_spmm
+    from difformer_tpu.ops.graph_ops import gcn_conv
+
+    n, e, tile = 512, 16384, 64
+    # one hub row-tile: receivers concentrated in rows 0..63, senders spread
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = np.where(rng.random(e) < 0.5, rng.integers(0, tile, e),
+                 rng.integers(0, n, e)).astype(np.int64)
+    order = np.argsort(r, kind="stable")
+    s, r = s[order], r[order]
+    x = jnp.asarray(rng.normal(size=(n, 1, 16)).astype(np.float32))
+
+    # budget forces a tiny cap: per_slice = 8*64*64*4 = 131072 B; budget
+    # 300 KB -> cap = 2 blocks/row (hub row-tile alone qualifies for 8)
+    fwd, rev = build_bsr_gcn(s, r, n, tile=tile, min_edges=32,
+                             block_budget_bytes=300_000)
+    assert fwd.blocks.shape[1] <= 2
+    got = bsr_spmm(fwd, rev, x)
+    want = gcn_conv(x, jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # uncapped build agrees too (sanity that the cap actually bound)
+    fwd2, _ = build_bsr_gcn(s, r, n, tile=tile, min_edges=32)
+    assert fwd2.blocks.shape[1] > fwd.blocks.shape[1]

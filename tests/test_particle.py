@@ -133,3 +133,55 @@ def test_tau3mu_pipeline(tmp_path):
     x, ei, y = ds.graphs[0]
     assert x.shape[1] == 3  # mu_hit_bend + eta + phi
     assert ei.shape[0] == 2
+
+
+def test_build_synmol_raw_with_positions_file(tmp_path):
+    """SynMol raw pipeline without RDKit: one-hot -> categorical features,
+    attribution labels, reference split protocol, positions from a
+    user-provided npz (synmol.py:72-125 minus the conformer embed)."""
+    import pandas as pd
+
+    from difformer_tpu.data.particle import BUILDERS, SYNMOL_ATOM_TYPES
+
+    raw = tmp_path / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n_mol, n_types = 1010, len(SYNMOL_ATOM_TYPES)
+    sizes = rng.integers(4, 9, n_mol)
+    datadicts, exp, ys, poses = [], [], [], []
+    for n in sizes:
+        onehot = np.zeros((n, n_types))
+        onehot[np.arange(n), rng.integers(0, 4, n)] = 1
+        datadicts.append({"nodes": onehot})
+        lab = (rng.random(n) < 0.3).astype(np.float64)
+        exp.append([{"nodes": lab[:, None]}])
+        ys.append(float(rng.integers(0, 2)))
+        poses.append(rng.normal(size=(n, 3)))
+    np.savez(raw / "y_true.npz", y=np.asarray(ys))
+    np.savez(raw / "x_true.npz",
+             datadict_list=np.asarray([datadicts], dtype=object))
+    np.savez(raw / "true_raw_attribution_datadicts.npz",
+             datadict_list=np.asarray(exp, dtype=object))
+    pd.DataFrame({"smiles": ["C"] * n_mol}).to_csv(
+        raw / "logic8_smiles.csv", index=False)
+    idx = rng.permutation(n_mol)
+    np.savez(raw / "logic8_traintest_indices.npz",
+             train_index=idx[:1005], test_index=idx[1005:])
+    np.savez(raw / "positions.npz",
+             pos=np.asarray(poses, dtype=object))
+
+    ds = BUILDERS["synmol"](str(tmp_path), {})
+    assert len(ds) == n_mol
+    x, ei, y = ds[0]
+    assert x.shape == (sizes[0], 4)            # atom idx + 3 pos cols
+    assert x[:, 0].max() < 4
+    np.testing.assert_allclose(ds.extras[0]["pos"], poses[0] * 5.0,
+                               rtol=1e-6)      # synmol.py:116 scaling
+    split = ds.get_idx_split()
+    assert len(split["valid"]) == 1000          # reference protocol
+    assert len(split["train"]) == 5
+    assert len(split["test"]) == 5
+    # cached reload keeps extras
+    ds2 = BUILDERS["synmol"](str(tmp_path), {})
+    np.testing.assert_allclose(ds2.extras[3]["node_label"],
+                               ds.extras[3]["node_label"])
