@@ -144,17 +144,57 @@ def build_ell_gcn(senders, receivers, num_nodes, edge_weight=None):
     return ell_fwd, ell_rev
 
 
+# peak bytes the gathered [slots, f_chunk] intermediate may occupy; wide
+# trailing dims (e.g. H=8 heads -> F=512) otherwise materialize multi-GB
+# per-slot tensors and blow HBM (observed: 23 GB at E=4.2M, H=8)
+_GATHER_BUDGET_BYTES = 1 << 30
+
+
 def _ell_matvec(ell: EllGraph, x):
-    """out[n] = Σ_k w[n,k] · x[idx[n,k]] — gathers and dense sums only."""
-    outs = []
-    for idx, w in zip(ell.nbr_idx, ell.weight):
+    """out[n] = Σ_k w[n,k] · x[idx[n,k]] — gathers and dense sums only.
+
+    The trailing feature dims are processed in chunks when the gathered
+    per-slot intermediate would exceed ``_GATHER_BUDGET_BYTES`` (each chunk
+    re-gathers a narrower row; a few extra fixed-cost row fetches buy a
+    bounded footprint)."""
+    trailing = x.shape[1:]
+    F = int(np.prod(trailing)) if trailing else 1
+    x2 = x.reshape(x.shape[0], F)
+    slots = sum(int(i.shape[0]) * int(i.shape[1]) for i in ell.nbr_idx)
+    n_chunks = int(min(
+        max(1, -(-slots * F * x.dtype.itemsize // _GATHER_BUDGET_BYTES)), F))
+    f_chunk = -(-F // n_chunks)
+    if n_chunks > 1 and F > 128:
+        # round the chunk width up to the 128-lane tile so narrower chunks
+        # don't pad straight back to 128 lanes (2.5x expansion observed)
+        f_chunk = -(-f_chunk // 128) * 128
+        n_chunks = -(-F // f_chunk)
+
+    def bucket_sum(idx, w, xc):
         nb, k = idx.shape
-        g = jnp.take(x, idx.reshape(-1), axis=0)
-        g = g.reshape((nb, k) + x.shape[1:])
-        wb = w.reshape((nb, k) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        outs.append(jnp.sum(g * wb, axis=1))
-    out_sorted = jnp.concatenate(outs, axis=0)
-    return jnp.take(out_sorted, ell.inv_perm, axis=0)
+        g = jnp.take(xc, idx.reshape(-1), axis=0).reshape(nb, k, xc.shape[1])
+        return jnp.sum(g * w[..., None].astype(xc.dtype), axis=1)
+
+    def all_buckets(xc):
+        return jnp.concatenate(
+            [bucket_sum(idx, w, xc)
+             for idx, w in zip(ell.nbr_idx, ell.weight)], axis=0)
+
+    if n_chunks == 1:
+        out_sorted = all_buckets(x2)
+    else:
+        # lax.scan serializes the chunks — a python loop emits them as
+        # independent ops and XLA schedules the multi-GB gathers
+        # concurrently, defeating the whole budget
+        f_pad = n_chunks * f_chunk
+        x2p = (x2 if f_pad == F
+               else jnp.pad(x2, ((0, 0), (0, f_pad - F))))
+        xs = jnp.moveaxis(x2p.reshape(x2.shape[0], n_chunks, f_chunk), 1, 0)
+        _, outs = jax.lax.scan(lambda _, xc: (None, all_buckets(xc)),
+                               None, xs)
+        out_sorted = jnp.moveaxis(outs, 0, 1).reshape(-1, f_pad)[:, :F]
+    out = jnp.take(out_sorted, ell.inv_perm, axis=0)
+    return out.reshape((x.shape[0],) + trailing)
 
 
 @jax.custom_vjp

@@ -93,3 +93,47 @@ def test_difformer_with_ell_matches_coo(rng):
                           ell=ell)
     np.testing.assert_allclose(np.asarray(out_coo), np.asarray(out_ell),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ell_matvec_feature_chunking_matches_unchunked(rng, monkeypatch):
+    """A tiny gather budget forces multi-chunk execution; results are
+    identical to the single-gather path (the HBM guard for wide trailing
+    dims, e.g. H=8)."""
+    import difformer_tpu.ops.ell as ell_mod
+    from difformer_tpu.ops.ell import build_ell_gcn, gcn_conv_ell
+
+    n, e = 128, 1024
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    x = jnp.asarray(rng.normal(size=(n, 4, 8)).astype(np.float32))
+    fwd, rev = build_ell_gcn(s, r, n)
+
+    want = np.asarray(gcn_conv_ell(x, fwd, rev))
+    monkeypatch.setattr(ell_mod, "_GATHER_BUDGET_BYTES", 4096)
+    got = np.asarray(gcn_conv_ell(x, fwd, rev))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # gradient path (reverse ELL) chunks identically
+    g = jnp.asarray(rng.normal(size=(n, 4, 8)).astype(np.float32))
+    f = lambda x: jnp.vdot(gcn_conv_ell(x, fwd, rev), g)
+    got_g = np.asarray(jax.grad(f)(x))
+    monkeypatch.setattr(ell_mod, "_GATHER_BUDGET_BYTES", 1 << 30)
+    want_g = np.asarray(jax.grad(f)(x))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-6, atol=1e-6)
+
+
+def test_ell_matvec_lane_rounded_scan_chunking(rng, monkeypatch):
+    """F>128 path: chunk width rounds to the 128-lane tile and chunks run
+    under lax.scan; numerics unchanged."""
+    import difformer_tpu.ops.ell as ell_mod
+    from difformer_tpu.ops.ell import build_ell_gcn, gcn_conv_ell
+
+    n, e = 96, 512
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    x = jnp.asarray(rng.normal(size=(n, 2, 160)).astype(np.float32))  # F=320
+    fwd, rev = build_ell_gcn(s, r, n)
+    want = np.asarray(gcn_conv_ell(x, fwd, rev))
+    monkeypatch.setattr(ell_mod, "_GATHER_BUDGET_BYTES", 8192)
+    got = np.asarray(jax.jit(lambda x: gcn_conv_ell(x, fwd, rev))(x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
