@@ -79,10 +79,15 @@ def bench_sigmoid():
 
 
 def bench_ell():
+    """XLA-gather roofline probe on the dominant ELL bucket.
+
+    (A Pallas windowed-DMA comparison kernel lived here until round 2; it
+    was retired — per-row DMAs are latency-bound and current Mosaic rejects
+    D<128 VMEM slices. See BENCH_NOTES.md "Pallas ELL kernel: retired".)
+    """
     import jax
     import jax.numpy as jnp
 
-    from difformer_tpu.kernels.pallas_ell_spmm import ell_bucket_spmm_pallas
     from difformer_tpu.ops.ell import build_ell_gcn
 
     N, E, D = 131072, 4 * 1024 * 1024, 64
@@ -101,11 +106,8 @@ def bench_ell():
         return jnp.sum(g * w[..., None], axis=1)
 
     f_xla = jax.jit(xla_ref)
-    f_pal = jax.jit(
-        lambda x, idx, w: ell_bucket_spmm_pallas(x, idx, w)
-    )
     rows = idx.shape[0] * idx.shape[1]
-    for name, f in [("xla-gather", f_xla), ("pallas-dma", f_pal)]:
+    for name, f in [("xla-gather", f_xla)]:
         t0 = time.perf_counter()
         out = f(x, idx, w)
         sync(out)
