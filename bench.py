@@ -169,15 +169,31 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         print(f"# ELL built in {time.perf_counter() - t0:.1f}s "
               f"buckets={ell[0].bucket_sizes}", file=sys.stderr, flush=True)
     elif impl == "bsr":
-        from difformer_tpu.ops.bsr import build_bsr_gcn
+        from difformer_tpu.ops.bsr import build_bsr_bucketed_gcn, build_bsr_gcn
 
         kw = {}
         if os.environ.get("BENCH_BLOCK_BF16", "1") == "1":
             kw["block_dtype"] = jnp.bfloat16  # same step time, half HBM
         if os.environ.get("BENCH_RES_TIGHT") == "0":
             kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
-        ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
-                            verbose=True, **kw)
+        # Kb-bucketed layout (BsrBuckets): no hub-cap padding — A/B via
+        # BENCH_LAYOUT=bucketed (+BENCH_MIN_EDGES/BENCH_BUDGET_GB).
+        # Default stays the capped padded layout: measured 2026-08-20,
+        # bucketed at the cost-model threshold (cov 0.385, 3.56 GB/dir)
+        # ran 142.4 ms vs padded-capped 115.4 ms — marginal tiles stream
+        # at ~200 GB/s effective and don't pay for the gathers they save.
+        if os.environ.get("BENCH_LAYOUT", "padded") == "bucketed":
+            if "BENCH_BUDGET_GB" in os.environ:
+                kw["budget_bytes"] = (
+                    float(os.environ["BENCH_BUDGET_GB"]) * 2 ** 30)
+            if "BENCH_MIN_EDGES" in os.environ:
+                kw["min_edges"] = int(os.environ["BENCH_MIN_EDGES"])
+            ell = build_bsr_bucketed_gcn(s_sorted, r_sorted, n, tile=tile,
+                                         verbose=True, **kw)
+            impl_label += "-bucketed"
+        else:
+            ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
+                                verbose=True, **kw)
         print(f"# BSR built in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 

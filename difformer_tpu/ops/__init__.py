@@ -23,8 +23,10 @@ from difformer_tpu.ops.ell import (  # noqa: F401
     gcn_conv_ell,
 )
 from difformer_tpu.ops.bsr import (  # noqa: F401
-    build_bsr_gcn,
-    build_bsr_gcn_sharded,
+    bsr_bucketed_spmm,
     bsr_spmm,
     bsr_spmm_sharded,
+    build_bsr_bucketed_gcn,
+    build_bsr_gcn,
+    build_bsr_gcn_sharded,
 )

@@ -29,6 +29,8 @@ whole train step stays scatter-free.
 
 from __future__ import annotations
 
+import sys
+
 from typing import Any, Optional
 
 import jax
@@ -236,7 +238,7 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
                      if res is not None else 0)
             print(f"# bsr[{name}]: tiles={d.block_col.shape} "
                   f"({d.blocks.nbytes / 1e6:.0f} MB), residual ELL slots "
-                  f"≈{res_e}", flush=True)
+                  f"≈{res_e}", file=sys.stderr, flush=True)
     return fwd, rev
 
 
@@ -274,6 +276,207 @@ def _spmm_bwd(res, g):
 
 
 bsr_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kb-bucketed layout: ragged block-rows without hub-cap padding
+# ---------------------------------------------------------------------------
+
+# bucket ladder for per-row-tile block counts; each row-tile pads its block
+# list up to the next rung, so padding waste is < 2x worst case (~25%
+# typical on a count-sorted power-law tail)
+_KB_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@struct.dataclass
+class BsrBuckets:
+    """One direction of the hybrid with **Kb-bucketed** dense blocks.
+
+    The padded ``BsrDirection`` layout stores ``[Ntr, Kb_max]`` block slots,
+    so after hub-clustering (:func:`degree_sorted_order`) a handful of hub
+    row-tiles holding hundreds of blocks force either a huge padded array
+    (observed 32 GB on a Pareto-α2 graph) or a per-row cap that demotes
+    profitable tiles to the gather path (the round-2 capped build kept only
+    0.22 edge coverage of an available 0.47). Here row-tiles are grouped by
+    their dense-block count into ladder buckets (4, 8, 16, …): each bucket
+    is a small tile-level ELL ``[m_b, kb_b, T, T]`` whose output tiles
+    scatter disjointly into the row space — hub rows pay hub cost, tail
+    rows pay tail cost, and the byte budget buys ~2× the coverage of the
+    capped layout at equal HBM.
+    """
+
+    blocks: Any        # tuple of [m_b, kb_b, T, T] per bucket
+    block_col: Any     # tuple of int32 [m_b, kb_b]; 0 on padding
+    row_tiles: Any     # tuple of int32 [m_b] owning row-tile ids (disjoint)
+    residual: Optional[EllGraph]   # sparse-tile edges (per-edge ELL path)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    tile: int = struct.field(pytree_node=False, default=256)
+
+
+def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
+                              min_edges, block_dtype=np.float32,
+                              residual_kwargs=None, budget_bytes=None):
+    """out[owner] = Σ values · x[point_to] with Kb-bucketed dense tiles.
+
+    ``budget_bytes`` caps the *raw content* bytes of kept blocks (per
+    direction); tiles are kept densest-first, so the budget demotes the
+    least profitable tiles globally instead of per-row (contrast
+    ``max_blocks_per_row`` in :func:`_dense_tiles`)."""
+    ntr = -(-num_nodes // tile)
+    tr = (owner // tile).astype(np.int64)
+    tc = (point_to // tile).astype(np.int64)
+    key = tr * ntr + tc
+    counts = np.bincount(key, minlength=ntr * ntr)
+    dkeys = np.flatnonzero(counts >= min_edges).astype(np.int64)
+    if budget_bytes is not None and dkeys.size:
+        per_tile = tile * tile * np.dtype(block_dtype).itemsize
+        max_tiles = max(int(budget_bytes // per_tile), 0)
+        if dkeys.size > max_tiles:
+            keep = np.argsort(-counts[dkeys], kind="stable")[:max_tiles]
+            dkeys = np.sort(dkeys[keep])
+    kmask = np.zeros(ntr * ntr, bool)
+    kmask[dkeys] = True
+    dense_edge = kmask[key]
+
+    buckets = []
+    if dkeys.size:
+        dtr = dkeys // ntr
+        dtc = dkeys % ntr
+        per_row = np.bincount(dtr, minlength=ntr)
+        # ladder rung per non-empty row-tile
+        rung = np.searchsorted(_KB_LADDER, per_row, side="left")
+        # slot of each dense tile within its row (dkeys sorted by (tr, tc))
+        row_start = np.zeros(ntr + 1, np.int64)
+        np.add.at(row_start, dtr + 1, 1)
+        row_start = np.cumsum(row_start)
+        slot_of = np.arange(dkeys.size) - row_start[dtr]
+        slot_lookup = np.zeros(ntr * ntr, np.int64)
+        slot_lookup[dkeys] = slot_of
+        # per-edge destination (dense edges only)
+        e = np.flatnonzero(dense_edge)
+        e_tr = tr[e]
+        e_slot = slot_lookup[key[e]]
+        for li, kb in enumerate(_KB_LADDER):
+            rows = np.flatnonzero((rung == li) & (per_row > 0))
+            if rows.size == 0:
+                continue
+            kb = int(min(kb, ntr))
+            m = rows.size
+            pos_of_row = np.full(ntr, -1, np.int64)
+            pos_of_row[rows] = np.arange(m)
+            bcol = np.zeros((m, kb), np.int32)
+            in_b = per_row[dtr] > 0
+            sel = (rung[dtr] == li)
+            bcol[pos_of_row[dtr[sel]], slot_of[sel]] = dtc[sel].astype(
+                np.int32)
+            blocks = np.zeros((m, kb, tile, tile), np.float32)
+            esel = rung[e_tr] == li
+            eb = e[esel]
+            np.add.at(
+                blocks,
+                (pos_of_row[e_tr[esel]], e_slot[esel],
+                 owner[eb] % tile, point_to[eb] % tile),
+                values[eb])
+            if np.dtype(block_dtype) != np.float32:
+                blocks = blocks.astype(block_dtype)
+            buckets.append((jnp.asarray(blocks), jnp.asarray(bcol),
+                            jnp.asarray(rows.astype(np.int32))))
+
+    r = ~dense_edge
+    residual = None
+    if r.any():
+        residual = _build_direction(point_to[r], owner[r], values[r],
+                                    num_nodes, **(residual_kwargs or {}))
+    return BsrBuckets(
+        blocks=tuple(b[0] for b in buckets),
+        block_col=tuple(b[1] for b in buckets),
+        row_tiles=tuple(b[2] for b in buckets),
+        residual=residual,
+        num_nodes=num_nodes,
+        tile=tile,
+    ), dense_edge
+
+
+def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
+                           *, tile=256, min_edges=None, verbose=False,
+                           block_dtype=np.float32, residual_kwargs=None,
+                           budget_bytes=2.5 * 2 ** 30):
+    """GCN-normalized Â as a Kb-bucketed hybrid (see :class:`BsrBuckets`).
+
+    Same contract as :func:`build_bsr_gcn` (returns ``(fwd, rev)`` for
+    :func:`bsr_bucketed_spmm` / ``gcn_conv_ell``); preferred for
+    heavy-tailed graphs after :func:`degree_sorted_order` where the padded
+    layout's hub cap binds. ``budget_bytes`` is raw kept-block content per
+    direction (no padding waste to subtract — bucketing keeps waste under
+    the next ladder rung)."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if min_edges is None:
+        min_edges = default_min_edges(
+            tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
+    if residual_kwargs is None:
+        residual_kwargs = dict(min_bucket=4, bucket_factor=2)
+    val = _gcn_values(senders, receivers, num_nodes, edge_weight)
+    fwd, de_f = _build_bucketed_direction(
+        senders, receivers, val, num_nodes, tile=tile, min_edges=min_edges,
+        block_dtype=block_dtype, residual_kwargs=residual_kwargs,
+        budget_bytes=budget_bytes)
+    rev, de_r = _build_bucketed_direction(
+        receivers, senders, val, num_nodes, tile=tile, min_edges=min_edges,
+        block_dtype=block_dtype, residual_kwargs=residual_kwargs,
+        budget_bytes=budget_bytes)
+    if verbose:
+        for name, d, de in (("fwd", fwd, de_f), ("rev", rev, de_r)):
+            nb = sum(int(np.prod(b.shape[:2])) for b in d.blocks)
+            mb = sum(b.nbytes for b in d.blocks) / 1e6
+            shapes = [tuple(b.shape[:2]) for b in d.blocks]
+            print(f"# bsr-bucketed[{name}]: slots={nb} ({mb:.0f} MB) "
+                  f"buckets={shapes} coverage={de.mean():.3f}",
+                  file=sys.stderr, flush=True)
+    return fwd, rev
+
+
+def _bsr_bucketed_matvec(d: BsrBuckets, x):
+    trailing = x.shape[1:]
+    t = d.tile
+    ntr = -(-d.num_nodes // t)
+    pad = ntr * t - d.num_nodes
+    xt = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    xt = xt.reshape((ntr, t) + trailing)
+    out_t = jnp.zeros((ntr, t) + trailing, x.dtype)
+    for blocks, bcol, rows in zip(d.blocks, d.block_col, d.row_tiles):
+        m, kb = bcol.shape
+        g = jnp.take(xt, bcol.reshape(-1), axis=0)
+        g = g.reshape((m, kb, t) + trailing)
+        ob = jnp.einsum("mkrc,mkc...->mr...", blocks.astype(x.dtype), g)
+        out_t = out_t.at[rows].add(ob, indices_are_sorted=True,
+                                   unique_indices=True)
+    out = out_t.reshape((ntr * t,) + trailing)[: d.num_nodes]
+    if d.residual is not None:
+        out = out + _ell_matvec(d.residual, x)
+    return out
+
+
+@jax.custom_vjp
+def bsr_bucketed_spmm(fwd: BsrBuckets, rev: BsrBuckets, x):
+    """Â @ x via the Kb-bucketed hybrid; backward applies the
+    reverse-direction operator (scatter-free across the node dimension —
+    the only scatter is the ~Ntr-index disjoint tile write)."""
+    return _bsr_bucketed_matvec(fwd, x)
+
+
+def _bspmm_fwd(fwd, rev, x):
+    return _bsr_bucketed_matvec(fwd, x), (fwd, rev)
+
+
+def _bspmm_bwd(res, g):
+    fwd, rev = res
+    dx = _bsr_bucketed_matvec(rev, g)
+    zero = lambda d: jax.tree_util.tree_map(jnp.zeros_like, d)
+    return zero(fwd), zero(rev), dx
+
+
+bsr_bucketed_spmm.defvjp(_bspmm_fwd, _bspmm_bwd)
 
 
 # ---------------------------------------------------------------------------

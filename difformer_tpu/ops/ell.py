@@ -226,6 +226,10 @@ def gcn_conv_ell(x, ell_fwd, ell_rev):
         from difformer_tpu.ops.bsr import bsr_spmm_sharded
 
         return bsr_spmm_sharded(ell_fwd, ell_rev, x)
+    if hasattr(ell_fwd, "row_tiles"):
+        from difformer_tpu.ops.bsr import bsr_bucketed_spmm
+
+        return bsr_bucketed_spmm(ell_fwd, ell_rev, x)
     if hasattr(ell_fwd, "blocks"):
         from difformer_tpu.ops.bsr import bsr_spmm
 

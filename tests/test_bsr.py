@@ -326,3 +326,126 @@ def test_block_row_cap_spills_to_residual_correctly(rng):
     # uncapped build agrees too (sanity that the cap actually bound)
     fwd2, _ = build_bsr_gcn(s, r, n, tile=tile, min_edges=32)
     assert fwd2.blocks.shape[1] > fwd.blocks.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Kb-bucketed layout (BsrBuckets)
+# ---------------------------------------------------------------------------
+
+from difformer_tpu.ops.bsr import (          # noqa: E402
+    BsrBuckets,
+    bsr_bucketed_spmm,
+    build_bsr_bucketed_gcn,
+    degree_sorted_order,
+)
+
+
+def _powerlaw(n, e, seed=0, alpha=2.0):
+    rng = np.random.default_rng(seed)
+    w = rng.pareto(alpha, n) + 1.0
+    p = w / w.sum()
+    s = rng.choice(n, size=e, p=p).astype(np.int32)
+    r = rng.choice(n, size=e, p=p).astype(np.int32)
+    return np.stack([s, r])
+
+
+@pytest.mark.parametrize("trailing", [(16,), (2, 8)])
+def test_bucketed_matches_gcn_conv_powerlaw(trailing):
+    n, tile = 512, 64
+    ei = _powerlaw(n, 6000, seed=3)
+    perm = degree_sorted_order(ei[0], ei[1], n)
+    s, r = perm[ei[0]], perm[ei[1]]
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n,) + trailing).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8)
+    assert len(fwd.blocks) >= 1        # hub rows produced dense buckets
+    out = bsr_bucketed_spmm(fwd, rev, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(x, np.stack([s, r]), n)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_bucketed_matches_padded_layout():
+    """Same graph through both layouts -> same operator."""
+    n, tile = 256, 64
+    ei = _clustered(n, tile)
+    x = np.random.default_rng(2).normal(size=(n, 8)).astype(np.float32)
+    pf, pr = build_bsr_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+    bf, br = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+    np.testing.assert_allclose(
+        np.asarray(bsr_spmm(pf, pr, jnp.asarray(x))),
+        np.asarray(bsr_bucketed_spmm(bf, br, jnp.asarray(x))),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_bucketed_budget_demotes_globally():
+    """A binding byte budget keeps only the densest tiles; numerics are
+    unchanged (demoted tiles spill to the residual ELL)."""
+    n, tile = 512, 64
+    ei = _powerlaw(n, 8000, seed=5)
+    perm = degree_sorted_order(ei[0], ei[1], n)
+    s, r = perm[ei[0]], perm[ei[1]]
+    x = np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)
+    full_f, full_r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8)
+    budget = 3 * tile * tile * 4            # room for only 3 f32 tiles
+    cap_f, cap_r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8,
+                                          budget_bytes=budget)
+    n_full = sum(int(np.prod(b.shape[:2])) for b in full_f.blocks)
+    # kept *content* tiles: count distinct (row, col) with nonzero blocks
+    kept = sum(int((np.abs(np.asarray(b, np.float32)).sum((2, 3)) > 0).sum())
+               for b in cap_f.blocks)
+    n_cap = sum(int(b.shape[0] * b.shape[1]) for b in cap_f.blocks)
+    assert kept <= 3 and n_cap < n_full
+    np.testing.assert_allclose(
+        np.asarray(bsr_bucketed_spmm(cap_f, cap_r, jnp.asarray(x))),
+        np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-5, atol=2e-5)
+
+
+def test_bucketed_grad_matches_dense():
+    n, tile = 256, 64
+    ei = _clustered(n, tile, seed=7)
+    x = np.random.default_rng(3).normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile,
+                                      min_edges=8)
+
+    def f_bsr(x):
+        return jnp.sum(jnp.sin(bsr_bucketed_spmm(fwd, rev, x)))
+
+    def f_ref(x):
+        order = np.argsort(ei[1], kind="stable")
+        o = gcn_conv(x, jnp.asarray(ei[0][order], jnp.int32),
+                     jnp.asarray(ei[1][order], jnp.int32),
+                     indices_are_sorted=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_bsr = jax.grad(f_bsr)(jnp.asarray(x))
+    g_ref = jax.grad(f_ref)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_bsr), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bucketed_no_dense_tiles_degrades_to_ell():
+    """Uniform sparse graph: nothing qualifies, all edges in the residual."""
+    n = 512
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, n, 800).astype(np.int32)
+    r = rng.integers(0, n, 800).astype(np.int32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(s, r, n, tile=64, min_edges=50)
+    assert len(fwd.blocks) == 0 and fwd.residual is not None
+    np.testing.assert_allclose(
+        np.asarray(bsr_bucketed_spmm(fwd, rev, jnp.asarray(x))),
+        np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-5, atol=2e-5)
+
+
+def test_bucketed_via_gcn_conv_ell_dispatch():
+    from difformer_tpu.ops.ell import gcn_conv_ell
+
+    n, tile = 256, 64
+    ei = _clustered(n, tile, seed=9)
+    x = np.random.default_rng(4).normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile,
+                                      min_edges=8)
+    np.testing.assert_allclose(
+        np.asarray(gcn_conv_ell(jnp.asarray(x), fwd, rev)),
+        np.asarray(_ref(x, ei, n)), rtol=2e-5, atol=2e-5)
