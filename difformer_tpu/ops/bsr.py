@@ -343,8 +343,13 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
         dtr = dkeys // ntr
         dtc = dkeys % ntr
         per_row = np.bincount(dtr, minlength=ntr)
-        # ladder rung per non-empty row-tile
-        rung = np.searchsorted(_KB_LADDER, per_row, side="left")
+        # ladder rung per non-empty row-tile; the ladder is capped at ntr
+        # (a row-tile can never hold more blocks than there are column
+        # tiles) so every per_row value lands on a rung — a static ladder
+        # would silently drop rows wider than its top rung on graphs with
+        # more than _KB_LADDER[-1] column tiles
+        ladder = tuple(l for l in _KB_LADDER if l < ntr) + (ntr,)
+        rung = np.searchsorted(ladder, per_row, side="left")
         # slot of each dense tile within its row (dkeys sorted by (tr, tc))
         row_start = np.zeros(ntr + 1, np.int64)
         np.add.at(row_start, dtr + 1, 1)
@@ -356,7 +361,7 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
         e = np.flatnonzero(dense_edge)
         e_tr = tr[e]
         e_slot = slot_lookup[key[e]]
-        for li, kb in enumerate(_KB_LADDER):
+        for li, kb in enumerate(ladder):
             rows = np.flatnonzero((rung == li) & (per_row > 0))
             if rows.size == 0:
                 continue
@@ -365,7 +370,6 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
             pos_of_row = np.full(ntr, -1, np.int64)
             pos_of_row[rows] = np.arange(m)
             bcol = np.zeros((m, kb), np.int32)
-            in_b = per_row[dtr] > 0
             sel = (rung[dtr] == li)
             bcol[pos_of_row[dtr[sel]], slot_of[sel]] = dtc[sel].astype(
                 np.int32)

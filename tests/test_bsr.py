@@ -449,3 +449,23 @@ def test_bucketed_via_gcn_conv_ell_dispatch():
     np.testing.assert_allclose(
         np.asarray(gcn_conv_ell(jnp.asarray(x), fwd, rev)),
         np.asarray(_ref(x, ei, n)), rtol=2e-5, atol=2e-5)
+
+
+def test_bucketed_hub_row_wider_than_static_ladder():
+    """A row-tile referencing more column tiles than the static ladder's
+    top rung must still emit all its blocks (regression: such rows were
+    silently dropped, losing their edges)."""
+    from difformer_tpu.ops.bsr import _KB_LADDER
+
+    tile = 8
+    ntr = _KB_LADDER[-1] + 3                 # more col tiles than top rung
+    n = ntr * tile
+    s = np.arange(0, n, tile, dtype=np.int32)    # one sender per col tile
+    r = np.zeros_like(s)                         # all into row-tile 0
+    x = np.random.default_rng(0).normal(size=(n, 4)).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=1,
+                                      budget_bytes=None)
+    assert fwd.residual is None              # every edge is in a dense tile
+    np.testing.assert_allclose(
+        np.asarray(bsr_bucketed_spmm(fwd, rev, jnp.asarray(x))),
+        np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-5, atol=2e-5)
