@@ -176,13 +176,12 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
             kw["block_dtype"] = jnp.bfloat16  # same step time, half HBM
         if os.environ.get("BENCH_RES_TIGHT") == "0":
             kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
-        # Kb-bucketed layout (BsrBuckets): no hub-cap padding — A/B via
-        # BENCH_LAYOUT=bucketed (+BENCH_MIN_EDGES/BENCH_BUDGET_GB).
-        # Default stays the capped padded layout: measured 2026-08-20,
-        # bucketed at the cost-model threshold (cov 0.385, 3.56 GB/dir)
-        # ran 142.4 ms vs padded-capped 115.4 ms — marginal tiles stream
-        # at ~200 GB/s effective and don't pay for the gathers they save.
-        if os.environ.get("BENCH_LAYOUT", "padded") == "bucketed":
+        # Kb-bucketed layout (BsrBuckets) with the on-chip-calibrated
+        # occupancy threshold (bucketed_min_edges): measured 100.0 ms vs
+        # the padded+cap layout's 115.4 ms on the powerlaw headline
+        # (min_edges sweep record in BENCH_NOTES.md). A/B knobs:
+        # BENCH_LAYOUT=padded, BENCH_MIN_EDGES, BENCH_BUDGET_GB.
+        if os.environ.get("BENCH_LAYOUT", "bucketed") == "bucketed":
             if "BENCH_BUDGET_GB" in os.environ:
                 kw["budget_bytes"] = (
                     float(os.environ["BENCH_BUDGET_GB"]) * 2 ** 30)

@@ -401,6 +401,20 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
     ), dense_edge
 
 
+# measured calibration (TPU v5e, 2026-08-20, powerlaw N=131k E=4.2M full
+# train step): dense blocks stream well below the peak-HBM rate the cost
+# model assumes, so the on-chip breakeven sits ~2.5x default_min_edges —
+# min_edges sweep at tile=256 bf16: 26→142.4 ms, 64→100.0 ms (best),
+# 96→100.5 ms, padded+cap baseline 115.4 ms. See BENCH_NOTES.md.
+_BUCKETED_BREAKEVEN_SCALE = 2.5
+
+
+def bucketed_min_edges(tile: int, block_elem_bytes: int = 4) -> int:
+    """On-chip-calibrated occupancy threshold for the bucketed layout."""
+    return int(default_min_edges(tile, block_elem_bytes=block_elem_bytes)
+               * _BUCKETED_BREAKEVEN_SCALE)
+
+
 def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
                            *, tile=256, min_edges=None, verbose=False,
                            block_dtype=np.float32, residual_kwargs=None,
@@ -416,7 +430,7 @@ def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     if min_edges is None:
-        min_edges = default_min_edges(
+        min_edges = bucketed_min_edges(
             tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
     if residual_kwargs is None:
         residual_kwargs = dict(min_bucket=4, bucket_factor=2)

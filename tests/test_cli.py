@@ -70,6 +70,19 @@ def test_cli_reorder_and_bsr_spmm():
     assert abs(res[0]["test"] - base[0]["test"]) < 0.25
 
 
+def test_cli_bsr_sorted_bucketed_spmm():
+    """--spmm bsr-sorted: hub-clustering relabel + the Kb-bucketed
+    block-sparse hybrid trains to the same quality as default ELL."""
+    common = ["--dataset", "synthetic-300-2400-8-3", "--epochs", "20",
+              "--runs", "1", "--rand_split", "true", "--hidden_channels",
+              "8", "--dropout", "0.0", "--display_step", "100",
+              "--seed", "7"]
+    base = main(common)
+    res = main(common + ["--spmm", "bsr-sorted", "--bsr_tile", "64"])
+    assert res[0]["test"] > 0.4
+    assert abs(res[0]["test"] - base[0]["test"]) < 0.25
+
+
 def test_cli_label_propagation():
     """--method lp: parameterless MultiLP propagation scored per run
     (reference gnns.py:203-253 wired through the method factory)."""
