@@ -104,7 +104,11 @@ def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
 
     if output_attn:
         # Visualization path (reference ``get_attentions``, difformer.py:43):
-        # explicit [N, L, H] — only for small graphs.
+        # explicit [N, L, H] — only for small graphs. Deviation: the
+        # reference divides by the un-transposed [N, H, 1] normalizer, which
+        # only broadcasts at H=1 (H>1 raises there); we use the intended
+        # [N, 1, H] broadcast, identical at H=1 (tests/test_reference_exec
+        # .py::test_v1_get_attentions_vs_reference).
         attn = jnp.einsum("nhm,lhm->nlh", qs, ks) / denominator[:, None, :]
         return out, attn
     return out

@@ -197,6 +197,70 @@ def test_v1_training_trajectory_vs_reference(rng, kernel):
     np.testing.assert_allclose(final_j, final_t, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("kernel", ["simple", "sigmoid"])
+def test_v1_edge_weight_parity_vs_reference(rng, kernel):
+    """Weighted-graph forward (the temporal track's edge_attr -> edge_weight
+    path, spatial-temporal/main.py:105, gcn_conv value=w*deg_norm at
+    difformer.py:70-73) matches the executed reference."""
+    x, senders, receivers = _graph(rng)
+    w = rng.uniform(0.1, 2.0, senders.shape[0]).astype(np.float32)
+    tmodel, jmodel, params = _build_v1_pair(kernel, dict(num_heads=2))
+
+    tmodel.eval()
+    with torch.no_grad():
+        out_t = tmodel(
+            torch.tensor(x),
+            torch.tensor(np.stack([senders, receivers])),
+            torch.tensor(w),
+        ).numpy()
+
+    out_j = np.asarray(jmodel.apply(
+        {"params": params}, jnp.asarray(x),
+        jnp.asarray(senders, jnp.int32), jnp.asarray(receivers, jnp.int32),
+        jnp.asarray(w), train=False,
+    ))
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", ["simple", "sigmoid"])
+def test_v1_get_attentions_vs_reference(rng, kernel):
+    """The visualization path (``DIFFormer.get_attentions``,
+    difformer.py:211-226) matches the reference's stacked per-layer
+    attention tensors. The reference calls ``conv(x, x, output_attn=True)``
+    with no edge_index, so only ``use_graph=False`` models can run it —
+    which makes it equivalent to our ``output_attn=True`` eval forward.
+
+    Reference quirk: the simple-kernel visualization divides [N,L,H] scores
+    by the UN-transposed [N,H,1] normalizer (difformer.py:43), which only
+    broadcasts when num_heads == 1 — for H>1 the reference itself raises.
+    We therefore check simple at H=1 (where reference semantics are defined)
+    and sigmoid at H=2; our implementation uses the intended [N,1,H]
+    broadcast, which coincides at H=1."""
+    x, senders, receivers = _graph(rng)
+    heads = 1 if kernel == "simple" else 2
+    flags = dict(num_heads=heads, use_graph=False)
+    tmodel, jmodel, params = _build_v1_pair(kernel, flags, L=3)
+
+    tmodel.eval()
+    with torch.no_grad():
+        attn_t = tmodel.get_attentions(torch.tensor(x)).numpy()
+
+    _, attn_j = jmodel.apply(
+        {"params": params}, jnp.asarray(x),
+        jnp.asarray(senders, jnp.int32), jnp.asarray(receivers, jnp.int32),
+        train=False, output_attn=True,
+    )
+    attn_j = np.asarray(attn_j)
+    assert attn_j.shape == attn_t.shape  # [layers, N, L, H]
+    np.testing.assert_allclose(attn_j, attn_t, rtol=2e-4, atol=2e-5)
+    # each query's attention over keys normalizes consistently with the
+    # aggregation (sigmoid rows sum to 1; simple rows are den-normalized)
+    if kernel == "sigmoid":
+        np.testing.assert_allclose(attn_j.sum(axis=2),
+                                   np.ones(attn_j.sum(axis=2).shape),
+                                   rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # v2 (batched graphs)
 # ---------------------------------------------------------------------------
