@@ -19,6 +19,11 @@ hub degrees like ogbn-proteins), not the kernel's best case:
     at E=4.2M — the proteins-like shape; no clean communities)
   * uniform   — i.i.d. endpoints (locality-free worst case)
 
+plus one DIFFormer-a row (the O(N²) sigmoid kernel on its Pallas flash
+path) at the reference's sigmoid operating scale (N=8192; it only runs
+sigmoid on ≤~20k-node graphs), with the reference-structure dense naive
+measured inline on the same graph. Gate: BENCH_SIGMOID=0 / BENCH_SIGMOID_N.
+
 ``vs_baseline`` = speedup over a naive step implementing the reference's
 structure directly (unsorted scatter, per-edge gather — the layout a
 line-by-line port would use) on the SAME graph at the SAME head count.
@@ -261,7 +266,9 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         t_naive = timeit(
             make_multi_step(s_uns, r_uns, False, use_ell=False), "naive")
         naive_eps = e * LAYERS / t_naive
-    elif (graph, heads) in NAIVE_EDGES_PER_S:
+    elif (graph, heads) in NAIVE_EDGES_PER_S and (n, e) == (N_DEF, E_DEF):
+        # cached constants were measured at the default shape only — at any
+        # other (n, e) report null rather than a wrong-shape ratio
         naive_eps = NAIVE_EDGES_PER_S[(graph, heads)]
 
     return {
@@ -274,6 +281,113 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
                         if naive_eps else None),
         "naive_edges_per_s": (round(naive_eps, 1) if naive_eps else None),
         "naive_measured_now": bool(run_naive),
+    }
+
+
+def run_sigmoid_config(jax, *, n=8192, heads=1, steps=8, dtype="bfloat16",
+                       seed=0):
+    """DIFFormer-a operating point: full train step of the 3-layer sigmoid
+    (O(N²)) model at the reference's sigmoid scale (it only ever runs the
+    sigmoid kernel on graphs ≤ ~20k nodes — chameleon/squirrel/cora,
+    ``node classification/run.sh:47-77``). The production path is the Pallas
+    flash kernel (``kernels/pallas_sigmoid_attention``); the naive baseline
+    is the reference's structure — materialize the [N, L, H] score tensor
+    (``difformer.py:45-56``, here ``ops.sigmoid_attention_dense``) with
+    unsorted-scatter gcn_conv — measured inline on the same graph (cheap at
+    this N). Row metric: pairs/s (N²·H·layers per step) plus edges/s for
+    table consistency."""
+    import jax.numpy as jnp
+    import optax
+
+    import difformer_tpu.nn.difformer as dif_mod
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.ops.sigmoid_attention import sigmoid_attention_dense
+    from difformer_tpu.train.optim import torch_adam
+
+    F, C, LAYERS = 64, 112, 3
+    e = 16 * n
+    x, s_sorted, r_sorted, s_uns, r_uns = build_graph(n, e, F, seed=seed,
+                                                      kind="uniform")
+    y = np.random.default_rng(1).integers(0, 2, size=(n, C)).astype(np.float32)
+
+    model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
+                      num_heads=heads, kernel="sigmoid", dropout=0.0,
+                      use_graph=True, compute_dtype=dtype or None)
+    xs = jnp.asarray(x)
+    labels = jnp.asarray(y)
+    tx = torch_adam(1e-2, 0.0)
+
+    def make_multi_step(senders, receivers, sorted_):
+        s = jnp.asarray(senders)
+        r = jnp.asarray(receivers)
+
+        def loss(params, xs, s, r, labels):
+            out = model.apply({"params": params}, xs, s, r, train=False,
+                              indices_are_sorted=sorted_)
+            return optax.sigmoid_binary_cross_entropy(out, labels).mean()
+
+        @jax.jit
+        def multi(params, opt_state, xs, s, r, labels):
+            def body(carry, _):
+                params, opt_state = carry
+                l, g = jax.value_and_grad(loss)(params, xs, s, r, labels)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), ls = jax.lax.scan(
+                body, (params, opt_state), None, length=steps)
+            return params, opt_state, ls[-1]
+
+        return lambda p, o: multi(p, o, xs, s, r, labels)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), xs, jnp.asarray(s_sorted[:128]),
+        jnp.asarray(r_sorted[:128]), train=False,
+    )
+
+    def timeit(multi, tag, reps=3):
+        params = variables["params"]
+        opt_state = tx.init(params)
+        t0 = time.perf_counter()
+        p1, o1, l = multi(params, opt_state)
+        float(l)
+        print(f"# [sigmoid N={n} H={heads}] {tag}: compile+{steps} steps "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            p1, o1, l = multi(p1, o1)
+            float(l)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        print(f"# [sigmoid N={n} H={heads}] {tag}: {best * 1e3:.1f} ms/step "
+              f"(min of {reps})", file=sys.stderr, flush=True)
+        return best
+
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), "flash")
+
+    # naive: reference-structure dense scores, same model/protocol, swapped
+    # in at the model's attention dispatch for the duration of the trace
+    saved = dif_mod.sigmoid_attention
+    dif_mod.sigmoid_attention = (
+        lambda q, k, v, **kw: sigmoid_attention_dense(
+            q, k, v, key_mask=kw.get("key_mask")))
+    try:
+        t_naive = timeit(make_multi_step(s_uns, r_uns, False), "naive-dense")
+    finally:
+        dif_mod.sigmoid_attention = saved
+
+    pairs_per_s = float(n) * n * heads * LAYERS / t_fast
+    return {
+        "graph": f"sigmoid-{n}", "heads": heads, "impl": "flash-sigmoid",
+        "dense_coverage": None,
+        "edges_per_s": round(e * LAYERS / t_fast, 1),
+        "pairs_per_s": round(pairs_per_s, 1),
+        "step_ms": round(t_fast * 1e3, 2),
+        "remat": False,
+        "vs_baseline": round(t_naive / t_fast, 3),
+        "naive_step_ms": round(t_naive * 1e3, 2),
+        "naive_measured_now": True,
     }
 
 
@@ -316,6 +430,14 @@ def main():
                       file=sys.stderr, flush=True)
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
                                        remat=True, **common))
+        if os.environ.get("BENCH_SIGMOID", "1") == "1":
+            try:
+                rows.append(run_sigmoid_config(
+                    jax, n=int(os.environ.get("BENCH_SIGMOID_N", 8192)),
+                    steps=steps, dtype=dtype))
+            except Exception as err:
+                print(f"# [sigmoid] DIFFormer-a row failed ({err}); "
+                      f"continuing without it", file=sys.stderr, flush=True)
         head = next(r for r in rows
                     if r["graph"] == "powerlaw" and r["heads"] == 1)
 
