@@ -20,9 +20,15 @@ hub degrees like ogbn-proteins), not the kernel's best case:
   * uniform   — i.i.d. endpoints (locality-free worst case)
 
 plus one DIFFormer-a row (the O(N²) sigmoid kernel on its Pallas flash
-path) at the reference's sigmoid operating scale (N=8192; it only runs
-sigmoid on ≤~20k-node graphs), with the reference-structure dense naive
-measured inline on the same graph. Gate: BENCH_SIGMOID=0 / BENCH_SIGMOID_N.
+path) at the reference's sigmoid operating scale (N=4096; it only runs
+sigmoid on ≤~20k-node graphs — chameleon 2.3k, squirrel 5.2k), with the
+reference-structure dense naive measured inline on the same graph. The row
+runs in a time-bounded subprocess (BENCH_SIGMOID_TIMEOUT, default 900 s):
+the blockwise-backward grad of the sigmoid op currently compiles very
+slowly on this TPU backend at large N (fwd-only 0.9 s vs ~390 s for one
+train-step grad at N=8192 — see BENCH_NOTES.md), and a slow compile here
+must not starve the sweep's final JSON line. Gates: BENCH_SIGMOID=0 /
+BENCH_SIGMOID_N.
 
 ``vs_baseline`` = speedup over a naive step implementing the reference's
 structure directly (unsorted scatter, per-edge gather — the layout a
@@ -284,7 +290,7 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     }
 
 
-def run_sigmoid_config(jax, *, n=8192, heads=1, steps=8, dtype="bfloat16",
+def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
                        seed=0):
     """DIFFormer-a operating point: full train step of the 3-layer sigmoid
     (O(N²)) model at the reference's sigmoid scale (it only ever runs the
@@ -402,6 +408,14 @@ def main():
     use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
     tile = int(os.environ.get("BENCH_TILE", 256))
 
+    if os.environ.get("BENCH_SIGMOID_ONLY") == "1":
+        # child mode for the bounded-subprocess sigmoid row (see below)
+        row = run_sigmoid_config(
+            jax, n=int(os.environ.get("BENCH_SIGMOID_N", 4096)),
+            steps=steps, dtype=dtype)
+        print(json.dumps(row), flush=True)
+        return 0
+
     single = any(k in os.environ for k in
                  ("BENCH_GRAPH", "BENCH_IMPL", "BENCH_HEADS"))
     common = dict(n=n, e=e, steps=steps, dtype=dtype, use_graph=use_graph,
@@ -431,10 +445,27 @@ def main():
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
                                        remat=True, **common))
         if os.environ.get("BENCH_SIGMOID", "1") == "1":
+            # run in a time-bounded subprocess: a pathologically slow
+            # compile on this row must not be able to starve the sweep's
+            # final JSON line (the driver's artifact). subprocess.run kills
+            # the exact child PID on timeout.
+            import subprocess
+
+            budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 900))
+            env = dict(os.environ, BENCH_SIGMOID_ONLY="1")
             try:
-                rows.append(run_sigmoid_config(
-                    jax, n=int(os.environ.get("BENCH_SIGMOID_N", 8192)),
-                    steps=steps, dtype=dtype))
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=budget, capture_output=True, text=True)
+                sys.stderr.write(res.stderr)
+                rows.append(json.loads(res.stdout.strip().splitlines()[-1]))
+            except subprocess.TimeoutExpired as err:
+                if err.stderr:
+                    sys.stderr.write(err.stderr if isinstance(err.stderr, str)
+                                     else err.stderr.decode())
+                print(f"# [sigmoid] DIFFormer-a row exceeded {budget:.0f}s "
+                      f"budget; continuing without it",
+                      file=sys.stderr, flush=True)
             except Exception as err:
                 print(f"# [sigmoid] DIFFormer-a row failed ({err}); "
                       f"continuing without it", file=sys.stderr, flush=True)
