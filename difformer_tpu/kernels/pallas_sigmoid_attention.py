@@ -21,9 +21,23 @@ the sigmoid alone:
   * scores cross the second matmul in the *input* dtype (bf16 inputs →
     full-rate bf16×bf16 MXU with f32 accumulation).
 
-Forward is Pallas; the backward pass reuses the blockwise XLA recompute path
-(`ops.sigmoid_attention._blocked_bwd`) via custom_vjp, sharing residuals
-(out, den).
+Forward and backward are both Pallas. The backward rematerializes the
+score tiles (standard flash recipe — 2 extra score evaluations instead of an
+[N, L, H] HBM intermediate) in two kernels that mirror the forward tiling:
+
+  * a **dq kernel** over grid (H, q-block, k-block) accumulating
+    ``dq_i += dlogit_ij @ k_j`` in f32 VMEM scratch across the inner k-grid;
+  * a **dk/dv kernel** over grid (H, k-block, q-block) accumulating
+    ``dk_j += dlogitᵀ_ij @ q_i`` and ``dv_j += sᵀ_ij @ dnum_i`` across the
+    inner q-grid,
+
+with ``dnum = g / den`` and ``dden = -Σ_d(g·out)/den`` precomputed once in
+XLA (O(N·H·D), negligible). The earlier XLA ``lax.scan``-of-einsums backward
+(`ops.sigmoid_attention._blocked_bwd`) triggered a pathological >280 s XLA
+compile on the TPU backend at N≥8192 (BENCH_NOTES.md round-2 entry); the
+Pallas backward sidesteps the XLA scan entirely and is also what removes the
+[N, block, H] f32 HBM intermediates. Gradient math identical to the blocked
+path: s = σ(q·k), ds = dnum·vᵀ + dden, dlogit = ds·s·(1−s).
 """
 
 from __future__ import annotations
@@ -136,51 +150,251 @@ def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
     return out, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _sigmoid_attention_pallas(qs, ks, vs, key_mask, interpret):
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(*refs, apply_mask):
+    """Grid (H, i, j): dq_i = Σ_j dlogit_ij @ k_j, accumulated in f32 scratch
+    across the inner j-grid. Zero-padded keys contribute zero rows of k, so
+    their (nonzero) dlogit columns vanish in the product — no mask needed for
+    padding, only for a caller-provided key_mask."""
+    if apply_mask:
+        q_ref, k_ref, v_ref, dn_ref, dd_ref, m_ref, dq_ref, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, dn_ref, dd_ref, dq_ref, acc_scr = refs
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                       # [BQ, M]
+    k = k_ref[0]                       # [BK, M]
+    v = v_ref[0]                       # [BK, D]
+    dn = dn_ref[0]                     # [BQ, D] f32
+    dd = dd_ref[0]                     # [BQ, 1] f32
+    s = jax.nn.sigmoid(
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )                                   # [BQ, BK]
+    if apply_mask:
+        s = s * m_ref[0][None, :]
+    # ds = dnum·vᵀ + dden; matmuls ride the MXU in the input dtype
+    # (bf16×bf16 → f32 accumulate at full rate; f32 stays exact).
+    ds = jax.lax.dot_general(
+        dn.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + dd
+    dl = ds * s * (1.0 - s)             # [BQ, BK] f32
+    acc_scr[...] += jnp.dot(dl.astype(k.dtype), k,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(*refs, apply_mask):
+    """Grid (H, j, i): dk_j = Σ_i dlogitᵀ_ij @ q_i and dv_j = Σ_i sᵀ_ij @
+    dnum_i, accumulated across the inner i-grid. Zero-padded queries carry
+    zero dnum/dden rows, so their dlogit/dnum rows vanish in both products;
+    padded *key* rows of dk/dv hold garbage and are sliced off outside."""
+    if apply_mask:
+        (q_ref, k_ref, v_ref, dn_ref, dd_ref, m_ref,
+         dk_ref, dv_ref, kacc_scr, vacc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, dn_ref, dd_ref,
+         dk_ref, dv_ref, kacc_scr, vacc_scr) = refs
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        kacc_scr[...] = jnp.zeros_like(kacc_scr)
+        vacc_scr[...] = jnp.zeros_like(vacc_scr)
+
+    q = q_ref[0]                       # [BQ, M]
+    k = k_ref[0]                       # [BK, M]
+    v = v_ref[0]                       # [BK, D]
+    dn = dn_ref[0]                     # [BQ, D] f32
+    dd = dd_ref[0]                     # [BQ, 1] f32
+    s = jax.nn.sigmoid(
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )                                   # [BQ, BK]
+    if apply_mask:
+        s = s * m_ref[0][None, :]
+    ds = jax.lax.dot_general(
+        dn.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + dd
+    dl = ds * s * (1.0 - s)             # [BQ, BK] f32
+    # contract the BQ dim of both operands (transposed matmuls, MXU-native)
+    kacc_scr[...] += jax.lax.dot_general(
+        dl.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    vacc_scr[...] += jax.lax.dot_general(
+        s.astype(v.dtype), dn.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = kacc_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = vacc_scr[...].astype(dv_ref.dtype)
+
+
+def _sigmoid_attention_pallas_bwd_impl(qs, ks, vs, key_mask, out, den, g, *,
+                                       block_q=512, block_k=512,
+                                       interpret=False):
+    """Pallas backward: recompute score tiles, no [N, L] HBM intermediates.
+
+    Inputs: residuals (qs [N,H,M], ks [L,H,M], vs [L,H,D], key_mask [L]|None,
+    out [N,H,D], den [N,H] f32) and cotangent g [N,H,D].
+    Returns (dq, dk, dv) in the input dtypes.
+    """
+    N, H, M = qs.shape
+    L, _, D = vs.shape
+    apply_mask = key_mask is not None
+
+    g32 = g.astype(jnp.float32)
+    out32 = out.astype(jnp.float32)
+    dnum = g32 / den[..., None]                         # [N, H, D]
+    dden = -jnp.sum(g32 * out32, axis=-1) / den         # [N, H]
+
+    bq = min(block_q, _round_up(N, 8))
+    bk = min(block_k, _round_up(L, 8))
+    Np, Lp = _round_up(N, bq), _round_up(L, bk)
+
+    qT = jnp.moveaxis(qs, 1, 0)                         # [H, N, M]
+    kT = jnp.moveaxis(ks, 1, 0)
+    vT = jnp.moveaxis(vs, 1, 0)
+    dnT = jnp.moveaxis(dnum, 1, 0)                      # [H, N, D]
+    ddT = jnp.moveaxis(dden, 1, 0)[..., None]           # [H, N, 1]
+    if Np != N:
+        pad = ((0, 0), (0, Np - N), (0, 0))
+        qT, dnT, ddT = (jnp.pad(a, pad) for a in (qT, dnT, ddT))
+    if Lp != L:
+        pad = ((0, 0), (0, Lp - L), (0, 0))
+        kT, vT = (jnp.pad(a, pad) for a in (kT, vT))
+
+    mask_ops = []
+    if apply_mask:
+        mask2 = key_mask.astype(jnp.float32).reshape(1, L)
+        if Lp != L:
+            mask2 = jnp.pad(mask2, ((0, 0), (0, Lp - L)))
+        mask_ops = [mask2]
+
+    dq_specs = [
+        pl.BlockSpec((1, bq, M), lambda h, i, j: (h, i, 0)),
+        pl.BlockSpec((1, bk, M), lambda h, i, j: (h, j, 0)),
+        pl.BlockSpec((1, bk, D), lambda h, i, j: (h, j, 0)),
+        pl.BlockSpec((1, bq, D), lambda h, i, j: (h, i, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0)),
+    ]
+    if apply_mask:
+        dq_specs.append(pl.BlockSpec((1, bk), lambda h, i, j: (0, j)))
+    dqT = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, apply_mask=apply_mask),
+        grid=(H, Np // bq, Lp // bk),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, bq, M), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, Np, M), qs.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, M), jnp.float32)],
+        interpret=interpret,
+    )(qT, kT, vT, dnT, ddT, *mask_ops)
+
+    dkv_specs = [
+        pl.BlockSpec((1, bq, M), lambda h, j, i: (h, i, 0)),
+        pl.BlockSpec((1, bk, M), lambda h, j, i: (h, j, 0)),
+        pl.BlockSpec((1, bk, D), lambda h, j, i: (h, j, 0)),
+        pl.BlockSpec((1, bq, D), lambda h, j, i: (h, i, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, j, i: (h, i, 0)),
+    ]
+    if apply_mask:
+        dkv_specs.append(pl.BlockSpec((1, bk), lambda h, j, i: (0, j)))
+    dkT, dvT = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, apply_mask=apply_mask),
+        grid=(H, Lp // bk, Np // bq),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bk, M), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda h, j, i: (h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, Lp, M), ks.dtype),
+            jax.ShapeDtypeStruct((H, Lp, D), vs.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, M), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qT, kT, vT, dnT, ddT, *mask_ops)
+
+    dq = jnp.moveaxis(dqT[:, :N], 0, 1)
+    dk = jnp.moveaxis(dkT[:, :L], 0, 1)
+    dv = jnp.moveaxis(dvT[:, :L], 0, 1)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sigmoid_attention_pallas(qs, ks, vs, key_mask, interpret, xla_bwd):
     out, _ = _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask,
                                                 interpret=interpret)
     return out
 
 
-def _fwd(qs, ks, vs, key_mask, interpret):
+def _fwd(qs, ks, vs, key_mask, interpret, xla_bwd):
     out, den = _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask,
                                                   interpret=interpret)
     return out, (qs, ks, vs, key_mask, out, den)
 
 
-def _bwd(interpret, residuals, g):
-    from difformer_tpu.ops.sigmoid_attention import _blocked_bwd
-
+def _bwd(interpret, xla_bwd, residuals, g):
     qs, ks, vs, key_mask, out, den = residuals
-    if key_mask is None:
-        km = jnp.ones((ks.shape[0],), jnp.float32)
+    if xla_bwd:
+        # Legacy blockwise-XLA backward (kept for A/B benchmarking; its
+        # lax.scan-of-einsums form is compile-pathological on the TPU
+        # backend at N>=8192 — see BENCH_NOTES.md).
+        from difformer_tpu.ops.sigmoid_attention import _blocked_bwd
+
+        km = (jnp.ones((ks.shape[0],), jnp.float32) if key_mask is None
+              else key_mask)
+        L = ks.shape[0]
+        block = min(1024, _round_up(L, 128))
+        Lp = _round_up(L, block)
+        if Lp != L:
+            pad = [(0, Lp - L)]
+            ks_p = jnp.pad(ks, pad + [(0, 0), (0, 0)])
+            vs_p = jnp.pad(vs, pad + [(0, 0), (0, 0)])
+            km_p = jnp.pad(km, (0, Lp - L))
+        else:
+            ks_p, vs_p, km_p = ks, vs, km
+        dq, dk, dv, _ = _blocked_bwd(block, (qs, ks_p, vs_p, km_p, out, den),
+                                     g)
+        dq, dk, dv = dq, dk[:L], dv[:L]
     else:
-        km = key_mask
-    L = ks.shape[0]
-    block = min(1024, _round_up(L, 128))
-    Lp = _round_up(L, block)
-    if Lp != L:
-        pad = [(0, Lp - L)]
-        ks_p = jnp.pad(ks, pad + [(0, 0), (0, 0)])
-        vs_p = jnp.pad(vs, pad + [(0, 0), (0, 0)])
-        km_p = jnp.pad(km, (0, Lp - L))
-    else:
-        ks_p, vs_p, km_p = ks, vs, km
-    dq, dk, dv, dm = _blocked_bwd(
-        block, (qs, ks_p, vs_p, km_p, out, den), g
-    )
+        dq, dk, dv = _sigmoid_attention_pallas_bwd_impl(
+            qs, ks, vs, key_mask, out, den, g, interpret=interpret)
     d_mask = None if key_mask is None else jnp.zeros_like(key_mask)
-    return dq, dk[:L], dv[:L], d_mask
+    return dq, dk, dv, d_mask
 
 
 _sigmoid_attention_pallas.defvjp(_fwd, _bwd)
 
 
-def sigmoid_attention_pallas(qs, ks, vs, key_mask=None, *, interpret=False):
+def sigmoid_attention_pallas(qs, ks, vs, key_mask=None, *, interpret=False,
+                             xla_bwd=False):
     """Public entry: [N,H,M] × [L,H,M] × [L,H,D] (+ optional key mask [L])
     → [N,H,D]. Pass ``key_mask=None`` (not an all-ones array) when every key
-    is real — the kernel then skips the N² mask multiply entirely."""
+    is real — the kernel then skips the N² mask multiply entirely.
+    ``xla_bwd=True`` selects the legacy blockwise-XLA backward (A/B only)."""
     if key_mask is not None:
         key_mask = key_mask.astype(jnp.float32)
-    return _sigmoid_attention_pallas(qs, ks, vs, key_mask, interpret)
+    return _sigmoid_attention_pallas(qs, ks, vs, key_mask, interpret, xla_bwd)
