@@ -33,10 +33,21 @@ BENCH_SIGMOID_N.
 ``vs_baseline`` = speedup over a naive step implementing the reference's
 structure directly (unsorted scatter, per-edge gather — the layout a
 line-by-line port would use) on the SAME graph at the SAME head count.
-Naive throughputs are re-measured when ``BENCH_RUN_NAIVE=1`` (adds one slow
-compile per config) and otherwise read from the constants below, each
-measured on this chip with that flag (date noted). Rows with no measured
-naive constant report ``vs_baseline: null`` rather than a guess.
+The naive baseline is **re-measured in the same invocation by default**
+(``BENCH_RUN_NAIVE=0`` opts out and falls back to the dated constants
+below) — this chip shows up to 1.6x day-to-day drift on gather-bound
+programs (BENCH_NOTES.md), so cross-day ratios are untrustworthy. Rows
+report ``naive_measured_now`` accordingly.
+
+Each row also carries a **roofline account** (``roofline``): the additive
+cost-model floor for its configuration — random row-gather time for the
+per-edge (ELL/residual) work at the measured 3.7 ns + bytes/30 GB/s gather
+floor, HBM stream time for the dense BSR blocks at peak bandwidth, and MXU
+time for block + model matmuls — plus ``pct_of_roofline`` = floor/measured.
+Activation streaming between fused ops is NOT modeled (XLA fusion makes the
+true activation traffic unknowable from outside), so pct_of_roofline is an
+upper bound on closeness-to-light; rows near 1.0 are gather-bound by
+construction.
 
 Setting any of BENCH_GRAPH / BENCH_IMPL / BENCH_HEADS switches to
 single-config mode (one row, old behavior) for ad-hoc probes.
@@ -73,6 +84,91 @@ NAIVE_EDGES_PER_S = {
 
 N_DEF = 131072
 E_DEF = 4 * 1024 * 1024
+
+# --- roofline cost-model constants (this chip / v5e) -----------------------
+GATHER_BASE_NS = 3.7     # per random row fetch (measured, BENCH_NOTES
+GATHER_GBPS = 30e9       # "Gather cost model": t_row = 3.7ns + bytes/30GB/s)
+HBM_GBPS = 819e9         # v5e peak HBM stream (dense-block floor)
+MXU_FLOPS = 197e12       # v5e bf16 peak
+SIGMOID_VPU_PAIRS = 90e9  # VPU sigmoid evals/s inside the flash kernel —
+#   derived from the measured 84.7 Gpairs/s VPU-bound forward (BENCH_NOTES
+#   "VPU-bound analysis": matmuls alone would run ~10x faster, so the
+#   per-pair cost is ≈ one sigmoid evaluation)
+
+
+def _real_edges(ell_graph):
+    """Non-padding edge slots of an EllGraph (weight==0 marks padding)."""
+    return int(sum(int((np.asarray(w) != 0).sum()) for w in ell_graph.weight))
+
+
+def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
+                     in_feat, hidden, out_ch, step_ms):
+    """Additive cost-model floor for one bench row (VERDICT r2 item 3).
+
+    Terms (all per train step, seconds):
+      * gather — per-edge rows fetched at the measured random-gather floor:
+        fwd streams the fwd direction's real edges, bwd the rev direction's,
+        once per layer; each fetch moves a [heads*d] feature row.
+      * dense_stream — BSR dense blocks cross HBM once per matmul
+        application (fwd blocks in the forward, rev blocks in the backward),
+        at peak stream bandwidth.
+      * mxu — block matmul FLOPs plus the model's projection/attention/MLP
+        matmuls (fwd + 2x for backward) at peak bf16 rate.
+    """
+    from difformer_tpu.ops.bsr import BsrBuckets, BsrDirection
+    from difformer_tpu.ops.ell import EllGraph
+
+    res_edges = []     # per direction: rows gathered per layer-pass
+    dense_bytes = 0
+    dense_flops_per_apply = 0
+    dirs = ell if isinstance(ell, tuple) else ()
+    for dct in dirs:
+        if isinstance(dct, EllGraph):
+            res_edges.append(_real_edges(dct))
+        elif isinstance(dct, BsrDirection):
+            res_edges.append(
+                _real_edges(dct.residual) if dct.residual is not None else 0)
+            dense_bytes += int(np.asarray(dct.blocks).nbytes)
+            dense_flops_per_apply += (
+                2 * dct.n_blocks * dct.tile * dct.tile * heads * d)
+        elif isinstance(dct, BsrBuckets):
+            res_edges.append(
+                _real_edges(dct.residual) if dct.residual is not None else 0)
+            for b in dct.blocks:
+                ba = np.asarray(b)
+                dense_bytes += int(ba.nbytes)
+                slots = int(np.prod(ba.shape[:2]))
+                dense_flops_per_apply += (
+                    2 * slots * dct.tile * dct.tile * heads * d)
+    if not res_edges:          # naive / no prebuilt operator: all edges
+        res_edges = [e, e]
+
+    row_bytes = heads * d * dtype_bytes
+    t_row = GATHER_BASE_NS * 1e-9 + row_bytes / GATHER_GBPS
+    t_gather = layers * sum(res_edges) * t_row
+
+    # fwd blocks stream once in the forward, rev blocks once in the backward
+    t_dense = layers * dense_bytes / HBM_GBPS
+
+    # model matmuls: input MLP, per layer 3 projections h->heads*d plus ~2
+    # attention contractions of the same rank, output MLP; backward ~2x fwd
+    model_flops = 2 * n * (in_feat * hidden + out_ch * hidden)
+    model_flops += layers * 2 * n * heads * d * hidden * 5
+    # dense_flops_per_apply already counts BOTH directions; each direction
+    # is applied once per layer (fwd in the forward, rev in the backward)
+    t_mxu = (3 * model_flops + layers * dense_flops_per_apply) / MXU_FLOPS
+
+    floor_ms = (t_gather + t_dense + t_mxu) * 1e3
+    return {
+        "gather_ms": round(t_gather * 1e3, 2),
+        "gathered_rows_per_layer": sum(res_edges),
+        "dense_stream_ms": round(t_dense * 1e3, 2),
+        "dense_block_mb": round(dense_bytes / 1e6, 1),
+        "mxu_ms": round(t_mxu * 1e3, 2),
+        "roofline_ms": round(floor_ms, 2),
+        "pct_of_roofline": (round(100.0 * floor_ms / step_ms, 1)
+                            if step_ms else None),
+    }
 
 
 def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
@@ -270,12 +366,19 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     naive_eps = None
     if run_naive:
         t_naive = timeit(
-            make_multi_step(s_uns, r_uns, False, use_ell=False), "naive")
+            make_multi_step(s_uns, r_uns, False, use_ell=False), "naive",
+            reps=2)
         naive_eps = e * LAYERS / t_naive
     elif (graph, heads) in NAIVE_EDGES_PER_S and (n, e) == (N_DEF, E_DEF):
         # cached constants were measured at the default shape only — at any
         # other (n, e) report null rather than a wrong-shape ratio
         naive_eps = NAIVE_EDGES_PER_S[(graph, heads)]
+
+    dtype_bytes = 2 if dtype == "bfloat16" else 4
+    roofline = roofline_account(
+        ell, impl=impl_label, e=e, layers=LAYERS, heads=heads, d=64,
+        dtype_bytes=dtype_bytes, n=n, in_feat=F, hidden=64, out_ch=C,
+        step_ms=t_fast * 1e3)
 
     return {
         "graph": graph, "heads": heads, "impl": impl_label,
@@ -287,6 +390,7 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
                         if naive_eps else None),
         "naive_edges_per_s": (round(naive_eps, 1) if naive_eps else None),
         "naive_measured_now": bool(run_naive),
+        "roofline": roofline,
     }
 
 
@@ -373,17 +477,37 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), "flash")
 
     # naive: reference-structure dense scores, same model/protocol, swapped
-    # in at the model's attention dispatch for the duration of the trace
-    saved = dif_mod.sigmoid_attention
-    dif_mod.sigmoid_attention = (
-        lambda q, k, v, **kw: sigmoid_attention_dense(
-            q, k, v, key_mask=kw.get("key_mask")))
-    try:
-        t_naive = timeit(make_multi_step(s_uns, r_uns, False), "naive-dense")
-    finally:
-        dif_mod.sigmoid_attention = saved
+    # in at the model's attention dispatch for the duration of the trace.
+    # Beyond ~16k nodes the [N, N, H] f32 score tensor (+ cotangent) passes
+    # ~4 GB and the reference's own path OOMs (difformer.py:45-56) — the
+    # flash row then reports vs_baseline null with the reason.
+    t_naive = None
+    naive_note = None
+    if n <= 16384:
+        saved = dif_mod.sigmoid_attention
+        dif_mod.sigmoid_attention = (
+            lambda q, k, v, **kw: sigmoid_attention_dense(
+                q, k, v, key_mask=kw.get("key_mask")))
+        try:
+            t_naive = timeit(make_multi_step(s_uns, r_uns, False),
+                             "naive-dense")
+        except Exception as err:
+            naive_note = f"naive-dense failed: {type(err).__name__}"
+            print(f"# [sigmoid N={n}] {naive_note}", file=sys.stderr,
+                  flush=True)
+        finally:
+            dif_mod.sigmoid_attention = saved
+    else:
+        naive_note = "reference dense path OOMs at this N"
 
-    pairs_per_s = float(n) * n * heads * LAYERS / t_fast
+    # roofline: 3 score-tile evaluations per layer-step (fwd + dq + dkv
+    # backward recomputes) at the measured VPU sigmoid floor, plus the 7
+    # N²-rank matmuls on the MXU (BENCH_NOTES "VPU-bound analysis")
+    pairs = float(n) * n * heads
+    t_vpu = LAYERS * 3 * pairs / SIGMOID_VPU_PAIRS
+    t_mxu = LAYERS * 7 * 2 * pairs * 64 / MXU_FLOPS
+    floor_ms = (t_vpu + t_mxu) * 1e3
+    pairs_per_s = pairs * LAYERS / t_fast
     return {
         "graph": f"sigmoid-{n}", "heads": heads, "impl": "flash-sigmoid",
         "dense_coverage": None,
@@ -391,9 +515,18 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
         "pairs_per_s": round(pairs_per_s, 1),
         "step_ms": round(t_fast * 1e3, 2),
         "remat": False,
-        "vs_baseline": round(t_naive / t_fast, 3),
-        "naive_step_ms": round(t_naive * 1e3, 2),
-        "naive_measured_now": True,
+        "vs_baseline": (round(t_naive / t_fast, 3) if t_naive else None),
+        "naive_step_ms": (round(t_naive * 1e3, 2) if t_naive else None),
+        "naive_edges_per_s": (round(e * LAYERS / t_naive, 1)
+                              if t_naive else None),
+        "naive_measured_now": t_naive is not None,
+        "naive_note": naive_note,
+        "roofline": {
+            "vpu_sigmoid_ms": round(t_vpu * 1e3, 2),
+            "mxu_ms": round(t_mxu * 1e3, 2),
+            "roofline_ms": round(floor_ms, 2),
+            "pct_of_roofline": round(100.0 * floor_ms / (t_fast * 1e3), 1),
+        },
     }
 
 
@@ -404,7 +537,9 @@ def main():
     n = int(os.environ.get("BENCH_N", N_DEF))
     e = int(os.environ.get("BENCH_E", E_DEF))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    run_naive = os.environ.get("BENCH_RUN_NAIVE") == "1"
+    # default ON: same-invocation baselines kill the chip-day-drift caveat
+    # (1.6x observed on gather-bound programs, BENCH_NOTES.md)
+    run_naive = os.environ.get("BENCH_RUN_NAIVE", "1") == "1"
     use_graph = os.environ.get("BENCH_USE_GRAPH", "1") == "1"
     tile = int(os.environ.get("BENCH_TILE", 256))
 
@@ -445,30 +580,46 @@ def main():
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
                                        remat=True, **common))
         if os.environ.get("BENCH_SIGMOID", "1") == "1":
-            # run in a time-bounded subprocess: a pathologically slow
-            # compile on this row must not be able to starve the sweep's
-            # final JSON line (the driver's artifact). subprocess.run kills
-            # the exact child PID on timeout.
+            # one row per N (default: the reference's sigmoid scale AND a
+            # scale where its dense path OOMs — VERDICT r2 item 1), each in
+            # a time-bounded subprocess: a pathologically slow compile must
+            # not starve the sweep's final JSON line (the driver's
+            # artifact). subprocess.run kills the exact child PID on
+            # timeout.
             import subprocess
 
             budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 900))
-            env = dict(os.environ, BENCH_SIGMOID_ONLY="1")
-            try:
-                res = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, timeout=budget, capture_output=True, text=True)
-                sys.stderr.write(res.stderr)
-                rows.append(json.loads(res.stdout.strip().splitlines()[-1]))
-            except subprocess.TimeoutExpired as err:
-                if err.stderr:
-                    sys.stderr.write(err.stderr if isinstance(err.stderr, str)
-                                     else err.stderr.decode())
-                print(f"# [sigmoid] DIFFormer-a row exceeded {budget:.0f}s "
-                      f"budget; continuing without it",
-                      file=sys.stderr, flush=True)
-            except Exception as err:
-                print(f"# [sigmoid] DIFFormer-a row failed ({err}); "
-                      f"continuing without it", file=sys.stderr, flush=True)
+            ns_sig = [int(v) for v in os.environ.get(
+                "BENCH_SIGMOID_NS", "4096,32768").split(",") if v]
+            for n_sig in ns_sig:
+                env = dict(os.environ, BENCH_SIGMOID_ONLY="1",
+                           BENCH_SIGMOID_N=str(n_sig))
+                try:
+                    res = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env, timeout=budget, capture_output=True,
+                        text=True)
+                    sys.stderr.write(res.stderr)
+                    out_lines = [l for l in res.stdout.strip().splitlines()
+                                 if l.startswith("{")]
+                    if res.returncode != 0 or not out_lines:
+                        print(f"# [sigmoid N={n_sig}] child rc="
+                              f"{res.returncode}, no JSON output; skipping "
+                              f"row", file=sys.stderr, flush=True)
+                        continue
+                    rows.append(json.loads(out_lines[-1]))
+                except subprocess.TimeoutExpired as err:
+                    if err.stderr:
+                        sys.stderr.write(
+                            err.stderr if isinstance(err.stderr, str)
+                            else err.stderr.decode())
+                    print(f"# [sigmoid N={n_sig}] row exceeded "
+                          f"{budget:.0f}s budget; continuing without it",
+                          file=sys.stderr, flush=True)
+                except Exception as err:
+                    print(f"# [sigmoid N={n_sig}] row failed ({err}); "
+                          f"continuing without it", file=sys.stderr,
+                          flush=True)
         head = next(r for r in rows
                     if r["graph"] == "powerlaw" and r["heads"] == 1)
 

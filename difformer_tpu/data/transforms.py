@@ -228,6 +228,15 @@ def locality_reorder(edge_index, num_nodes, method="rcm"):
                     (scipy.sparse.csgraph), the classic bandwidth-minimizer.
     method='bfs'    plain BFS order from the max-degree node (no scipy).
     method='degree' sort by degree (groups hubs; helps ELL bucketing).
+    method='community'
+                    synchronous label propagation (vectorized numpy, a few
+                    passes) → nodes grouped by detected community, community
+                    blocks chained by inter-community edge weight. Unlike
+                    RCM (a bandwidth minimizer that noise edges derail),
+                    this recovers SBM-style block structure even at 10-20%%
+                    cross-community edges — the right preprocessing for the
+                    halo-minimizing shard layout
+                    (``parallel.partition.locality_layout``).
 
     Returns ``perm`` with ``new_id = perm[old_id]``; apply with
     :func:`permute_graph`.
@@ -278,11 +287,95 @@ def locality_reorder(edge_index, num_nodes, method="rcm"):
         deg = (np.bincount(ei[0], minlength=num_nodes)
                + np.bincount(ei[1], minlength=num_nodes))
         order = np.argsort(-deg, kind="stable")
+    elif method == "community":
+        labels = label_propagation(ei, num_nodes)
+        order = _community_chain_order(ei, labels, num_nodes)
     else:
         raise ValueError(f"unknown reorder method {method!r}")
     perm = np.empty(num_nodes, np.int64)
     perm[order] = np.arange(num_nodes)
     return perm
+
+
+def label_propagation(edge_index, num_nodes, iters=10, seed=0):
+    """Community detection by synchronous label propagation, fully
+    vectorized: each pass assigns every node the most frequent label among
+    its (symmetrized) neighbors, ties broken toward the smaller label.
+    O(E log E) per pass (one lexsort); converges in a handful of passes on
+    block-structured graphs. Returns int labels [num_nodes] (community ids
+    are arbitrary; relabelled compactly)."""
+    ei = np.asarray(edge_index)
+    # symmetrize so direction doesn't bias propagation
+    src = np.concatenate([ei[0], ei[1]])
+    dst = np.concatenate([ei[1], ei[0]])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    labels = np.arange(num_nodes, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    # tiny random tie-break priority so symmetric ties don't oscillate
+    prio = rng.random(num_nodes)
+    for _ in range(iters):
+        lab_src = labels[src]
+        order = np.lexsort((lab_src, dst))
+        d, l = dst[order], lab_src[order]
+        # run-length encode (dst, label) pairs
+        new_run = np.empty(d.shape[0], bool)
+        new_run[0] = True
+        new_run[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, d.shape[0]))
+        run_dst, run_lab = d[starts], l[starts]
+        # per dst: label with max count (break ties by label priority)
+        score = counts.astype(np.float64) + prio[run_lab] * 0.5
+        best = np.zeros(num_nodes, np.float64)
+        np.maximum.at(best, run_dst, score)
+        is_best = score >= best[run_dst]
+        new_labels = labels.copy()
+        # later writes win; order within dst is label-sorted → deterministic
+        new_labels[run_dst[is_best]] = run_lab[is_best]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    _, compact = np.unique(labels, return_inverse=True)
+    return compact
+
+
+def _community_chain_order(edge_index, labels, num_nodes):
+    """Order nodes by community blocks, chaining communities greedily by
+    inter-community edge weight (each next block is the one most connected
+    to the previously placed one) so that related communities sit adjacent
+    — shard cuts then fall between weakly-coupled blocks."""
+    ei = np.asarray(edge_index)
+    c = int(labels.max()) + 1 if num_nodes else 0
+    a, b = labels[ei[0]], labels[ei[1]]
+    off = a != b
+    pair = np.minimum(a[off], b[off]) * c + np.maximum(a[off], b[off])
+    uniq, w = np.unique(pair, return_counts=True)
+    import collections
+
+    nbrs = collections.defaultdict(list)
+    for p, ww in zip(uniq, w):
+        i, j = int(p // c), int(p % c)
+        nbrs[i].append((j, int(ww)))
+        nbrs[j].append((i, int(ww)))
+    sizes = np.bincount(labels, minlength=c)
+    placed = np.zeros(c, bool)
+    chain = []
+    cur = int(np.argmax(sizes))
+    while True:
+        placed[cur] = True
+        chain.append(cur)
+        cand = [(ww, j) for j, ww in nbrs[cur] if not placed[j]]
+        if cand:
+            cur = max(cand)[1]
+        else:
+            rest = np.flatnonzero(~placed)
+            if rest.size == 0:
+                break
+            cur = int(rest[np.argmax(sizes[rest])])
+    rank = np.empty(c, np.int64)
+    rank[chain] = np.arange(c)
+    return np.argsort(rank[labels], kind="stable")
 
 
 def permute_graph(perm, edge_index, *arrays):

@@ -106,7 +106,8 @@ def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
         # Visualization path (reference ``get_attentions``, difformer.py:43):
         # explicit [N, L, H] — only for small graphs. Deviation: the
         # reference divides by the un-transposed [N, H, 1] normalizer, which
-        # only broadcasts at H=1 (H>1 raises there); we use the intended
+        # is shape-invalid for H>1 (raises — unless L happens to equal H,
+        # where torch broadcasting silently misaligns); we use the intended
         # [N, 1, H] broadcast, identical at H=1 (tests/test_reference_exec
         # .py::test_v1_get_attentions_vs_reference).
         attn = jnp.einsum("nhm,lhm->nlh", qs, ks) / denominator[:, None, :]

@@ -90,6 +90,94 @@ def edge_balanced_layout(edge_index, num_nodes: int, n_shards: int,
     return node_perm, n_loc
 
 
+def crossing_counts(edge_index, num_nodes: int):
+    """``cross[b]`` = number of edges crossing a cut between node ``b-1``
+    and node ``b`` of the current order (an edge with endpoint positions
+    lo < hi crosses every boundary b in (lo, hi]). O(E + N) via a diff
+    array; used to snap shard cuts to low-connectivity boundaries."""
+    ei = np.asarray(edge_index)
+    lo = np.minimum(ei[0], ei[1]).astype(np.int64)
+    hi = np.maximum(ei[0], ei[1]).astype(np.int64)
+    d = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(d, lo + 1, 1)
+    np.add.at(d, hi + 1, -1)
+    return np.cumsum(d)[: num_nodes + 1]
+
+
+def locality_layout(edge_index, num_nodes: int, n_shards: int, *,
+                    method: str = "community", node_align: int = 1,
+                    balance_tol: float = 0.15):
+    """Locality-aware partition layout (VERDICT round-2 item 4).
+
+    Three host-side stages, composing with :func:`partition_graph` via its
+    ``node_perm`` argument:
+
+    1. **community reorder** — :func:`data.transforms.locality_reorder`
+       (label-propagation communities by default; 'rcm'/'bfs' also
+       accepted) renumbers nodes so communities become contiguous id
+       ranges regardless of the input labelling.
+    2. **degree-balanced cut targets** — same cumulative-receiver-degree
+       targets as :func:`edge_balanced_layout`, so per-shard SpMM work
+       stays balanced.
+    3. **min-cut snap** — each cut slides within the window where the
+       per-shard edge count stays within ``balance_tol`` of its target, to
+       the position with the fewest crossing edges (:func:`crossing_counts`)
+       — cuts land between communities instead of through them.
+
+    On community-structured graphs this cuts halo (boundary-row) traffic by
+    multiples vs the contiguous layout; the contiguous cut only matches it
+    when node ids already happen to be community-sorted. Returns
+    ``(node_perm, nodes_per_shard)``.
+    """
+    from difformer_tpu.data.transforms import locality_reorder
+
+    ei = np.asarray(edge_index)
+    perm0 = locality_reorder(ei, num_nodes, method=method)  # new = perm0[old]
+    ei_r = perm0[ei]
+
+    deg = np.bincount(ei_r[1], minlength=num_nodes).astype(np.int64)
+    c = np.cumsum(deg)
+    total = max(int(c[-1]), 1)
+    cross = crossing_counts(ei_r, num_nodes)
+
+    tol = balance_tol * total / n_shards
+    cuts = []
+    prev = 0
+    for k in range(1, n_shards):
+        target = k * total / n_shards
+        lo = int(np.searchsorted(c, target - tol, side="left")) + 1
+        hi = int(np.searchsorted(c, target + tol, side="right")) + 1
+        lo = max(lo, prev + 1)
+        hi = min(max(hi, lo + 1), num_nodes)
+        b = lo + int(np.argmin(cross[lo:hi]))
+        cuts.append(b)
+        prev = b
+    bounds = np.concatenate([[0], cuts, [num_nodes]])
+    bounds = np.maximum.accumulate(bounds)
+
+    counts = np.diff(bounds)
+    n_loc = max(int(counts.max()), 1)
+    n_loc = -(-n_loc // node_align) * node_align
+    pos_of_new = np.empty(num_nodes, np.int64)
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        pos_of_new[lo:hi] = s * n_loc + np.arange(hi - lo)
+    return pos_of_new[perm0], n_loc
+
+
+def boundary_rows(edge_index, node_perm, nodes_per_shard: int) -> int:
+    """Number of (owner, destination)-distinct boundary rows a layout ships
+    per conv layer — the halo payload in feature rows (= ``send_mask.sum()``
+    of the built plan, but computable without building it). Regression
+    metric for layout quality."""
+    ei = np.asarray(node_perm)[np.asarray(edge_index)]
+    src_shard = ei[0] // nodes_per_shard
+    dst_shard = ei[1] // nodes_per_shard
+    remote = src_shard != dst_shard
+    pairs = np.stack([ei[0][remote], dst_shard[remote]])
+    return int(np.unique(pairs, axis=1).shape[1])
+
+
 def partition_graph(
     node_feat: np.ndarray,
     edge_index: np.ndarray,

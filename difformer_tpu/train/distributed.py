@@ -49,7 +49,7 @@ class DistributedTrainer:
     def __init__(self, model, init_model, node_feat, edge_index, labels, *,
                  train_mask, mesh=None, lr=1e-2, weight_decay=5e-4,
                  loss="nll", metric="acc", seed=123, spmm="halo",
-                 bsr_tile=256, balance_edges=False):
+                 bsr_tile=256, balance_edges=False, layout=None):
         self.mesh = mesh or make_mesh()
         n_shards = int(np.prod(self.mesh.devices.shape))
         labels_np = np.asarray(labels)
@@ -67,6 +67,13 @@ class DistributedTrainer:
                 if labels_np.ndim > 1 else labels_np
             ).astype(np.int32)
 
+        # layout: 'contiguous' (equal node blocks) | 'balanced'
+        # (degree-balanced cuts, = balance_edges=True) | 'locality'
+        # (RCM reorder + degree-balanced cuts + min-cut snap — the
+        # halo-minimizing production layout for community graphs)
+        if layout is None:
+            layout = "balanced" if balance_edges else "contiguous"
+        balance_edges = layout != "contiguous"
         ell = None
         self._node_perm = None
         if spmm == "bsr" and balance_edges:
@@ -101,12 +108,17 @@ class DistributedTrainer:
             if balance_edges:
                 # degree-balanced contiguous shards (SURVEY §7.3 risk 4):
                 # equal cumulative receiver degree per shard instead of
-                # equal node count — the slowest shard gates every psum
+                # equal node count — the slowest shard gates every psum.
+                # 'locality' additionally RCM-reorders and snaps cuts to
+                # community boundaries (minimizes halo bytes).
                 from difformer_tpu.parallel.partition import (
                     edge_balanced_layout,
+                    locality_layout,
                 )
 
-                perm, n_loc = edge_balanced_layout(
+                make_layout = (locality_layout if layout == "locality"
+                               else edge_balanced_layout)
+                perm, n_loc = make_layout(
                     np.asarray(edge_index),
                     int(np.asarray(node_feat).shape[0]), n_shards)
                 perm_kw = dict(node_perm=perm, nodes_per_shard=n_loc)

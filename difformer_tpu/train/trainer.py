@@ -127,7 +127,10 @@ class FullBatchTrainer:
         self._forward_eval = jax.jit(self._forward_eval_impl)
 
     # -- state ---------------------------------------------------------------
-    def init_state(self, run: int = 0) -> TrainState:
+    def init_state(self, run: int = 0, init_params=None) -> TrainState:
+        """``init_params`` overrides the flax initialization — e.g. weights
+        imported from a torch state_dict for cross-framework equivalence
+        runs (tests/test_reference_convergence.py)."""
         g = self.graph
         rng = jax.random.PRNGKey(self.seed + run)
         variables = self.model.init(
@@ -141,6 +144,8 @@ class FullBatchTrainer:
             **self.model_kwargs,
         )
         params = variables["params"]
+        if init_params is not None:
+            params = jax.tree_util.tree_map(jnp.asarray, init_params)
         extra = {k: v for k, v in variables.items() if k != "params"}
         return TrainState(
             params=params,
@@ -231,6 +236,7 @@ class FullBatchTrainer:
         ckpt_dir: str = "",
         checkpoint_every: int = 0,
         resume: bool = False,
+        init_params=None,
     ):
         """``ckpt_dir`` + ``checkpoint_every=N`` writes a full training
         checkpoint (params, optimizer state, rng, best-val scalar) every N
@@ -241,7 +247,7 @@ class FullBatchTrainer:
         train_mask = jnp.asarray(idx_to_mask(split_idx["train"], n))
         summaries = []
         for run in range(runs):
-            state = self.init_state(run)
+            state = self.init_state(run, init_params=init_params)
             rng = jax.random.PRNGKey(1000 + self.seed + run)
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
             best_params = None

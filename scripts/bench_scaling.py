@@ -39,6 +39,20 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--graph", default="uniform",
                    choices=["uniform", "clustered", "powerlaw"])
+    p.add_argument("--layout", default="locality",
+                   choices=["contiguous", "balanced", "locality"],
+                   help="shard layout; 'locality' = RCM + min-cut snap")
+    p.add_argument("--shuffle", action="store_true",
+                   help="randomly relabel node ids first (real graphs do "
+                        "not arrive community-sorted; the synthetic SBM "
+                        "does, which flatters the contiguous layout)")
+    p.add_argument("--t1-ms", type=float, default=0.0,
+                   help="measured single-CHIP step time (ms) for the ICI "
+                        "forecast; 0 = use the 1-shard row of this run "
+                        "(meaningless on the CPU proxy — pass the bench.py "
+                        "number)")
+    p.add_argument("--ici-gbps", type=float, default=90.0,
+                   help="per-link ICI bandwidth GB/s (v5p ~90/link)")
     p.add_argument("--json", default="", help="write rows to this path")
     args = p.parse_args()
 
@@ -73,6 +87,11 @@ def main():
         x, s_sorted, r_sorted, _, _ = build_graph(
             args.n, args.e, args.hidden, kind=args.graph, comm=comm)
         ei = np.stack([s_sorted, r_sorted]).astype(np.int64)
+    if args.shuffle:
+        shuf = rng.permutation(args.n)
+        ei = shuf[ei]
+        inv = np.argsort(shuf)
+        x = x[inv]
     y = rng.integers(0, 8, args.n)
     mask = np.ones(args.n, bool)
     tx = torch_adam(1e-2, 0.0)
@@ -98,13 +117,24 @@ def main():
     results = {}
     rows = []
     shards = [s for s in [1, 2, 4, 8, 16, 32] if s <= n_dev]
+    from difformer_tpu.parallel.partition import (
+        edge_balanced_layout,
+        locality_layout,
+    )
+
     for s in shards:
         mesh = make_mesh((s,), ("graph",), devices=jax.devices()[:s])
         model = DIFFormer(hidden_channels=args.hidden, out_channels=8,
                           num_layers=args.layers, dropout=0.0,
                           axis_name="graph")
+        perm_kw = {}
+        if s > 1 and args.layout != "contiguous":
+            make_layout = (locality_layout if args.layout == "locality"
+                           else edge_balanced_layout)
+            perm, n_loc = make_layout(ei, args.n, s)
+            perm_kw = dict(node_perm=perm, nodes_per_shard=n_loc)
         sg = partition_graph(x, ei, s, labels=y, label_mask=mask,
-                             build_halo=True)
+                             build_halo=True, **perm_kw)
         comm = collective_bytes_per_layer(sg, feat_dim=args.hidden)
         step = make_sharded_train_step(model, mesh, tx, loss_fn)
         # fresh copy per shard count — the step donates params/opt buffers
@@ -129,17 +159,37 @@ def main():
             "allgather_bytes_per_layer": comm["allgather"],
             "attn_psum_bytes_per_layer": comm["attn_psum"],
         }
+        # --- analytic ICI forecast (the CPU-proxy timing says nothing about
+        # real scaling; this does): compute scales as t1/S, comm = exact
+        # per-chip wire bytes over ICI. fwd + bwd each ship the halo (the
+        # backward reverses the exchange), psum payload is N-independent.
+        t1_ms = args.t1_ms or (1e3 * args.e * args.layers / results[shards[0]])
+        t_comp = t1_ms / s
+        wire = (comm.get("halo_wire", 0) + comm["attn_psum"]) / max(s, 1)
+        t_comm = 1e3 * args.layers * 2 * wire / (args.ici_gbps * 1e9)
+        row["forecast"] = {
+            "t1_ms": round(t1_ms, 2),
+            "t_compute_ms": round(t_comp, 3),
+            "t_ici_ms": round(t_comm, 3),
+            "efficiency_no_overlap": round(t_comp / (t_comp + t_comm), 4),
+            "efficiency_overlap": round(t_comp / max(t_comp, t_comm), 4),
+            "ici_gbps": args.ici_gbps,
+        }
         rows.append(row)
         print(f"shards={s:3d}  {dt * 1e3:8.1f} ms/step  "
               f"{eps / 1e6:8.1f}M edges/s  "
               f"efficiency={eps / base * 100:5.1f}%  "
               f"halo/allgather="
-              f"{comm.get('halo_wire', 0) / max(comm['allgather'], 1):.3f}",
+              f"{comm.get('halo_wire', 0) / max(comm['allgather'], 1):.3f}  "
+              f"ici-forecast={row['forecast']['efficiency_no_overlap'] * 100:.1f}%"
+              f"/{row['forecast']['efficiency_overlap'] * 100:.1f}% (ov)",
               flush=True)
 
     if args.json:
         artifact = {
-            "graph": args.graph, "n_nodes": args.n, "n_edges": args.e,
+            "graph": args.graph, "layout": args.layout,
+            "shuffled": bool(args.shuffle),
+            "n_nodes": args.n, "n_edges": args.e,
             "hidden": args.hidden, "layers": args.layers,
             "backend": jax.default_backend(), "n_devices": n_dev,
             "note": ("CPU-mesh proxy: correctness + comm-volume regression "

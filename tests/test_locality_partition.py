@@ -1,0 +1,120 @@
+"""Locality-aware partition layout (RCM + degree-balanced cuts + min-cut
+snap): halo-traffic regression gate + numerical parity with single-device.
+
+The reference has no distributed layer at all (SURVEY.md §2.6); this guards
+the TPU build's own north star — boundary bytes are what gate ≥80% scaling
+efficiency over ICI (BASELINE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difformer_tpu.nn import DIFFormer
+from difformer_tpu.parallel import make_mesh, partition_graph
+from difformer_tpu.parallel.api import sharded_apply
+from difformer_tpu.parallel.partition import (
+    boundary_rows,
+    crossing_counts,
+    locality_layout,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((N_DEV,), ("graph",))
+
+
+def _shuffled_sbm(n=2048, e=16384, f=8, comm=64, intra=0.9, seed=0):
+    """SBM with community-contiguous ids, then a random relabel — real
+    graphs do not arrive community-sorted; the locality layout must recover
+    the structure that the shuffle destroyed."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    e_in = int(e * intra)
+    c = rng.integers(0, n // comm, e_in)
+    senders = np.concatenate([
+        c * comm + rng.integers(0, comm, e_in), rng.integers(0, n, e - e_in)])
+    receivers = np.concatenate([
+        c * comm + rng.integers(0, comm, e_in), rng.integers(0, n, e - e_in)])
+    ei = np.stack([senders, receivers]).astype(np.int64)
+    shuf = rng.permutation(n)
+    return x[np.argsort(shuf)], shuf[ei]
+
+
+def test_crossing_counts_small():
+    # path graph 0-1-2-3: one edge crosses each interior boundary
+    ei = np.array([[0, 1, 2], [1, 2, 3]])
+    cross = crossing_counts(ei, 4)
+    np.testing.assert_array_equal(cross[:5], [0, 1, 1, 1, 0])
+    # an edge spanning 0..3 crosses every boundary
+    cross = crossing_counts(np.array([[0], [3]]), 4)
+    np.testing.assert_array_equal(cross[:5], [0, 1, 1, 1, 0])
+
+
+def test_locality_layout_is_permutation():
+    x, ei = _shuffled_sbm()
+    perm, n_loc = locality_layout(ei, x.shape[0], N_DEV)
+    shard_of = perm // n_loc
+    assert sorted(set(shard_of)) == list(range(N_DEV))
+    # positions unique within the padded layout
+    assert np.unique(perm).shape[0] == x.shape[0]
+
+
+def test_locality_layout_cuts_halo_2x():
+    """VERDICT round-2 item 4 gate: ≥2× fewer boundary rows than the
+    contiguous cut on a (shuffled) clustered graph."""
+    x, ei = _shuffled_sbm()
+    n = x.shape[0]
+    n_loc_cont = -(-n // N_DEV)
+    cont = boundary_rows(ei, np.arange(n), n_loc_cont)
+    perm, n_loc = locality_layout(ei, n, N_DEV)
+    loc = boundary_rows(ei, perm, n_loc)
+    assert loc * 2 <= cont, (loc, cont)
+
+
+def test_locality_layout_balances_edges():
+    x, ei = _shuffled_sbm()
+    n = x.shape[0]
+    perm, n_loc = locality_layout(ei, n, N_DEV)
+    counts = np.bincount(perm[ei[1]] // n_loc, minlength=N_DEV)
+    assert counts.max() <= 1.5 * ei.shape[1] / N_DEV
+
+
+def test_locality_partition_matches_single_device(mesh):
+    x, ei = _shuffled_sbm(n=256, e=2048, comm=32)
+    n, c = x.shape[0], 3
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, c, n)
+
+    single = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2)
+    s = jnp.asarray(ei[0], jnp.int32)
+    r = jnp.asarray(ei[1], jnp.int32)
+    variables = single.init(jax.random.PRNGKey(0), jnp.asarray(x), s, r,
+                            train=False)
+    expect = np.asarray(single.apply(variables, jnp.asarray(x), s, r,
+                                     train=False))
+
+    sharded_model = DIFFormer(hidden_channels=16, out_channels=c,
+                              num_layers=2, axis_name="graph")
+    perm, n_loc = locality_layout(ei, n, N_DEV)
+    sg = partition_graph(x, ei, N_DEV, labels=y, node_perm=perm,
+                         nodes_per_shard=n_loc, build_halo=True)
+    apply_fn = sharded_apply(sharded_model, mesh)
+    got = np.asarray(
+        jax.jit(lambda p, g: apply_fn(p, g))(variables["params"], sg)
+    ).reshape(-1, c)[perm]
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_boundary_rows_matches_built_plan():
+    """boundary_rows (layout metric, no plan build) must equal the halo
+    plan's real send-row count."""
+    x, ei = _shuffled_sbm(n=256, e=2048, comm=32)
+    n = x.shape[0]
+    perm, n_loc = locality_layout(ei, n, N_DEV)
+    sg = partition_graph(x, ei, N_DEV, node_perm=perm,
+                         nodes_per_shard=n_loc, build_halo=True)
+    assert boundary_rows(ei, perm, n_loc) == int(np.asarray(sg.send_mask).sum())
