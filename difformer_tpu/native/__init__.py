@@ -59,6 +59,9 @@ def get_lib():
             lib.knn_graph.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int,
                                       i64p]
+            lib.label_propagation.argtypes = [
+                i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -152,6 +155,25 @@ def induced_subgraph(senders, receivers, chunk, num_nodes):
         _p(out_r, ctypes.c_int32),
     )
     return np.stack([out_s[:kept], out_r[:kept]])
+
+
+def label_propagation(senders, receivers, num_nodes, iters=10):
+    """Native multithreaded synchronous label propagation (community
+    detection for the locality shard layout). Returns int64 labels [N]
+    compacted to [0, n_communities). Raises if the native lib is absent —
+    callers fall back to the numpy implementation in data/transforms."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native lib unavailable")
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    labels = np.empty(num_nodes, np.int64)
+    lib.label_propagation(
+        _p(senders, ctypes.c_int32), _p(receivers, ctypes.c_int32),
+        senders.shape[0], num_nodes, int(iters),
+        _p(labels, ctypes.c_int64),
+    )
+    return labels
 
 
 def knn_neighbors(x, k, *, include_self=True):

@@ -97,6 +97,94 @@ int64_t induced_subgraph(const int32_t* senders, const int32_t* receivers,
   return kept;
 }
 
+// Synchronous label propagation over the symmetrized adjacency —
+// community detection for the locality-aware shard layout
+// (parallel/partition.locality_layout). Each pass assigns every node the
+// highest-scoring neighbor label where score = count + 0.5 * prio(label)
+// and prio is a deterministic splitmix64 hash in [0, 1) (breaks the
+// symmetric-tie oscillation of plain synchronous LP without RNG state).
+// Multithreaded over nodes; per-node work is sort + run-length over its
+// neighbor labels. Stops early when a pass changes nothing. labels_out
+// holds compacted labels in [0, n_communities).
+static inline double prio_hash(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  x = x ^ (x >> 31);
+  return (double)(x >> 11) * (1.0 / 9007199254740992.0);  // [0, 1)
+}
+
+void label_propagation(const int32_t* senders, const int32_t* receivers,
+                       int64_t e, int64_t n, int32_t iters,
+                       int64_t* labels_out) {
+  // symmetrized CSR (self-loops dropped)
+  std::vector<int64_t> indptr(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] == receivers[i]) continue;
+    indptr[senders[i] + 1]++;
+    indptr[receivers[i] + 1]++;
+  }
+  for (int64_t i = 0; i < n; ++i) indptr[i + 1] += indptr[i];
+  std::vector<int32_t> nbr(indptr[n]);
+  {
+    std::vector<int64_t> cur(indptr.begin(), indptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) {
+      if (senders[i] == receivers[i]) continue;
+      nbr[cur[senders[i]]++] = receivers[i];
+      nbr[cur[receivers[i]]++] = senders[i];
+    }
+  }
+
+  std::vector<int64_t> labels(n), next_labels(n);
+  for (int64_t i = 0; i < n; ++i) labels[i] = i;
+  unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+
+  for (int32_t it = 0; it < iters; ++it) {
+    std::atomic<int64_t> chunk(0);
+    std::atomic<bool> changed(false);
+    auto worker = [&]() {
+      std::vector<int64_t> ls;
+      for (;;) {
+        int64_t c = chunk.fetch_add(1);
+        int64_t lo = c * 4096, hi = std::min<int64_t>(lo + 4096, n);
+        if (lo >= n) break;
+        for (int64_t v = lo; v < hi; ++v) {
+          int64_t a = indptr[v], b = indptr[v + 1];
+          if (a == b) { next_labels[v] = labels[v]; continue; }
+          ls.clear();
+          for (int64_t j = a; j < b; ++j) ls.push_back(labels[nbr[j]]);
+          std::sort(ls.begin(), ls.end());
+          double best_score = -1.0;
+          int64_t best_lab = labels[v];
+          for (size_t j = 0; j < ls.size();) {
+            size_t j2 = j;
+            while (j2 < ls.size() && ls[j2] == ls[j]) ++j2;
+            double score = (double)(j2 - j) + 0.5 * prio_hash((uint64_t)ls[j]);
+            if (score > best_score) { best_score = score; best_lab = ls[j]; }
+            j = j2;
+          }
+          next_labels[v] = best_lab;
+          if (best_lab != labels[v]) changed.store(true,
+                                                  std::memory_order_relaxed);
+        }
+      }
+    };
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+    labels.swap(next_labels);
+    if (!changed.load()) break;
+  }
+
+  // compact labels to [0, n_communities)
+  std::vector<int64_t> remap(n, -1);
+  int64_t next_id = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (remap[labels[i]] < 0) remap[labels[i]] = next_id++;
+    labels_out[i] = remap[labels[i]];
+  }
+}
+
 // Brute-force kNN over rows of x [n, d]; writes nbr [n, k] sorted by
 // distance. include_self=0 excludes the point itself. Multithreaded.
 void knn_graph(const float* x, int64_t n, int64_t d, int64_t k,

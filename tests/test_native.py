@@ -87,3 +87,41 @@ def test_ell_with_native_matches_segment(rng):
     ef, er = build_ell_gcn(s, r, n)
     got = gcn_conv_ell(jnp.asarray(x), ef, er)
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_label_propagation_native(lib, rng):
+    """Native LP finds the planted SBM communities, deterministically, and
+    matches the numpy fallback's community count."""
+    from difformer_tpu.data.transforms import label_propagation
+
+    n, comm = 512, 32
+    planted = np.arange(n) // comm
+    e = 6000
+    src = rng.integers(0, n, e)
+    dst = np.where(
+        rng.random(e) < 0.9,
+        planted[src] * comm + rng.integers(0, comm, e),
+        rng.integers(0, n, e),
+    )
+    ei = np.stack([src, dst]).astype(np.int64)
+    shuf = rng.permutation(n)
+    eis = shuf[ei]
+
+    lab = native.label_propagation(eis[0], eis[1], n)
+    lab2 = native.label_propagation(eis[0], eis[1], n)
+    np.testing.assert_array_equal(lab, lab2)
+    assert lab.min() == 0 and lab.max() + 1 == len(np.unique(lab))
+
+    lab_np = label_propagation(eis, n, use_native=False)
+    # both recover roughly the planted structure (16 blocks +- noise)
+    assert abs(int(lab.max()) + 1 - n // comm) <= n // comm
+    assert abs(int(lab_np.max()) + 1 - n // comm) <= n // comm
+    # native labels agree with the planted blocks for the vast majority of
+    # nodes (majority label per planted block covers >=80% of its nodes)
+    planted_shuffled = np.empty(n, np.int64)
+    planted_shuffled[shuf] = planted
+    agree = 0
+    for b in range(n // comm):
+        members = lab[planted_shuffled == b]
+        agree += np.max(np.bincount(members))
+    assert agree >= 0.8 * n, agree
