@@ -122,8 +122,14 @@ def main():
     rows = []
     print("| N | impl | compile s | ms/step | Gpairs/s |")
     print("|---|---|---|---|---|")
-    for n in ns:
-        for impl in impls:
+    # impl-major order, pallas first: killing a timed-out TPU child wedges
+    # the axon relay/remote-compile for minutes, poisoning every
+    # measurement taken right after (observed: the same program compiles in
+    # 1-3 s on a healthy tunnel and 200-600+ s after a kill). The healthy
+    # implementations therefore run before any known-pathological point,
+    # and a cool-down follows every kill.
+    for impl in impls:
+        for n in ns:
             if impl == "dense" and n > dense_cap:
                 continue
             try:
@@ -135,6 +141,8 @@ def main():
                 print(f"| {n} | {impl} | >{budget:.0f}s (killed) | — | — |",
                       flush=True)
                 rows.append({"n": n, "impl": impl, "timeout_s": budget})
+                cool = float(os.environ.get("CROSS_COOLDOWN", 180))
+                time.sleep(cool)   # let the relay recover before next point
                 continue
             lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
             if res.returncode != 0 or not lines:
