@@ -37,8 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 H, M, D = 1, 64, 64
 
 
-def run_point(n, impl):
-    """Child mode: measure one (N, impl) point, print one JSON line."""
+def run_point(n, impl, emit=True):
+    """Measure one (N, impl) point; print and return the row dict."""
     import jax
     import jax.numpy as jnp
 
@@ -99,16 +99,58 @@ def run_point(n, impl):
         q1, l = multi(q1, k, v)
         float(l)
         best = min(best, (time.perf_counter() - t0) / steps)
-    print(json.dumps({
+    row = {
         "n": n, "impl": impl, "compile_s": round(compile_s, 1),
         "ms_per_step": round(best * 1e3, 3),
         "gpairs_per_s": round(n * float(n) * H / best / 1e9, 2),
-    }), flush=True)
+    }
+    if emit:
+        print(json.dumps(row), flush=True)
+    return row
+
+
+def main_inprocess():
+    """No-kill mode: every point runs sequentially in THIS process. Use for
+    impls with known-sane compile times (pallas, dense) — the axon relay is
+    wedged for minutes by ANY killed TPU process, so the bounded-subprocess
+    mode poisons its own later points whenever one times out. Here nothing
+    is ever killed; a pathological point stalls the run instead (that is
+    the trade)."""
+    impls = os.environ.get("CROSS_IMPLS", "pallas,dense").split(",")
+    ns = [1024, 2048, 4096, 8192, 16384, 32768, 65536]
+    if len(sys.argv) == 4:
+        lo, hi = int(sys.argv[2]), int(sys.argv[3])
+        ns = [n for n in ns if lo <= n <= hi]
+    dense_cap = 16384
+    rows = []
+    print("| N | impl | compile s | ms/step | Gpairs/s |")
+    print("|---|---|---|---|---|")
+    for impl in impls:
+        for n in ns:
+            if impl == "dense" and n > dense_cap:
+                continue
+            try:
+                r = run_point(n, impl, emit=False)
+            except Exception as err:
+                print(f"| {n} | {impl} | FAILED {type(err).__name__} | — | — |",
+                      flush=True)
+                rows.append({"n": n, "impl": impl, "error": str(err)[:200]})
+                continue
+            rows.append(r)
+            print(f"| {r['n']} | {r['impl']} | {r['compile_s']} "
+                  f"| {r['ms_per_step']} | {r['gpairs_per_s']} |", flush=True)
+    print(json.dumps({"sweep": "sigmoid-crossover-fwdbwd", "heads": H,
+                      "m": M, "d": D,
+                      "dtype": os.environ.get("CROSS_DTYPE", "bfloat16"),
+                      "rows": rows}), flush=True)
 
 
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--point":
         run_point(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--inprocess":
+        main_inprocess()
         return
 
     impls = os.environ.get("CROSS_IMPLS", "dense,xla,pallas").split(",")
