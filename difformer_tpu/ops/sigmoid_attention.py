@@ -125,6 +125,12 @@ def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
     """
     L = ks.shape[0]
     if use_pallas is None:
+        # Crossover measured on-chip, fwd+bwd, bf16, H=1 (BENCH_NOTES r3
+        # "sigmoid dispatch crossover"): below 4096 every impl sits on the
+        # same ~3 ms dispatch floor (dense marginally ahead), at 4096-8192
+        # the Pallas kernels win 6-16%, and from ~16k the dense/blocked
+        # paths need O(N²) HBM (dense OOMs at 32768) while Pallas stays
+        # O(N·D) and scales to 98.7 Gpairs/s at 65536.
         use_pallas = (
             jax.default_backend() == "tpu" and L >= 4096 and qs.shape[0] >= 4096
         )
