@@ -19,16 +19,15 @@ hub degrees like ogbn-proteins), not the kernel's best case:
     at E=4.2M — the proteins-like shape; no clean communities)
   * uniform   — i.i.d. endpoints (locality-free worst case)
 
-plus one DIFFormer-a row (the O(N²) sigmoid kernel on its Pallas flash
-path) at the reference's sigmoid operating scale (N=4096; it only runs
-sigmoid on ≤~20k-node graphs — chameleon 2.3k, squirrel 5.2k), with the
-reference-structure dense naive measured inline on the same graph. The row
-runs in a time-bounded subprocess (BENCH_SIGMOID_TIMEOUT, default 900 s):
-the blockwise-backward grad of the sigmoid op currently compiles very
-slowly on this TPU backend at large N (fwd-only 0.9 s vs ~390 s for one
-train-step grad at N=8192 — see BENCH_NOTES.md), and a slow compile here
-must not starve the sweep's final JSON line. Gates: BENCH_SIGMOID=0 /
-BENCH_SIGMOID_N.
+plus DIFFormer-a rows (the O(N²) sigmoid kernel on its Pallas flash
+fwd+bwd path) at the reference's sigmoid operating scale (N=4096 —
+chameleon 2.3k, squirrel 5.2k) AND at N=32768, where the reference's dense
+path cannot run at all. Each runs in a time-bounded subprocess
+(BENCH_SIGMOID_TIMEOUT, default 900 s): compiles are seconds on a healthy
+tunnel since the round-3 Pallas backward, but the axon relay can wedge for
+minutes after any killed TPU process (BENCH_NOTES r3), and a wedged
+compile must not starve the sweep's final JSON line. Gates:
+BENCH_SIGMOID=0 / BENCH_SIGMOID_NS.
 
 ``vs_baseline`` = speedup over a naive step implementing the reference's
 structure directly (unsorted scatter, per-edge gather — the layout a
@@ -102,7 +101,7 @@ def _real_edges(ell_graph):
 
 
 def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
-                     in_feat, hidden, out_ch, step_ms):
+                     in_feat, hidden, out_ch, step_ms, row_width=None):
     """Additive cost-model floor for one bench row (VERDICT r2 item 3).
 
     Terms (all per train step, seconds):
@@ -127,6 +126,10 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
     from difformer_tpu.ops.bsr import BsrBuckets, BsrDirection
     from difformer_tpu.ops.ell import EllGraph
 
+    # row_width: features gathered per edge — heads*d in reference order,
+    # in_feat+1 under spmm_first (the ones-column bias correction)
+    width = row_width if row_width is not None else heads * d
+
     res_edges = []     # per direction: rows gathered per layer-pass
     dense_bytes = 0
     dense_flops_per_apply = 0
@@ -139,7 +142,7 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
                 _real_edges(dct.residual) if dct.residual is not None else 0)
             dense_bytes += int(np.asarray(dct.blocks).nbytes)
             dense_flops_per_apply += (
-                2 * dct.n_blocks * dct.tile * dct.tile * heads * d)
+                2 * dct.n_blocks * dct.tile * dct.tile * width)
         elif isinstance(dct, BsrBuckets):
             res_edges.append(
                 _real_edges(dct.residual) if dct.residual is not None else 0)
@@ -148,11 +151,11 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
                 dense_bytes += int(ba.nbytes)
                 slots = int(np.prod(ba.shape[:2]))
                 dense_flops_per_apply += (
-                    2 * slots * dct.tile * dct.tile * heads * d)
+                    2 * slots * dct.tile * dct.tile * width)
     if not res_edges:          # naive / no prebuilt operator: all edges
         res_edges = [e, e]
 
-    row_bytes = heads * d * dtype_bytes
+    row_bytes = width * dtype_bytes
     t_row = GATHER_BASE_NS * 1e-9 + row_bytes / GATHER_GBPS
     t_gather = layers * sum(res_edges) * t_row
 
@@ -273,10 +276,16 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     print(f"# [{graph} H={heads}] impl={impl_label} "
           f"dense_coverage={coverage:.3f}", file=sys.stderr, flush=True)
 
+    # multi-head rows gather (ÂX)Wv instead of Â(XWv): H·D-wide per-edge
+    # rows shrink to F+1 — the measured H=8 bottleneck (roofline gather
+    # term). BENCH_SPMM_FIRST=0 reverts to reference operation order.
+    spmm_first = heads > 1 and os.environ.get("BENCH_SPMM_FIRST", "1") == "1"
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
                       num_heads=heads, kernel="simple", dropout=0.0,
                       use_graph=use_graph, compute_dtype=dtype or None,
-                      remat=remat)
+                      remat=remat, spmm_first=spmm_first)
+    if spmm_first:
+        impl_label += "+spmm1st"
     xs = jnp.asarray(x)
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
@@ -392,7 +401,8 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     roofline = roofline_account(
         ell, impl=impl_label, e=e, layers=LAYERS, heads=heads, d=64,
         dtype_bytes=dtype_bytes, n=n, in_feat=F, hidden=64, out_ch=C,
-        step_ms=t_fast * 1e3)
+        step_ms=t_fast * 1e3,
+        row_width=(F + 1) if spmm_first else None)
 
     return {
         "graph": graph, "heads": heads, "impl": impl_label,

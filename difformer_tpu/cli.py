@@ -37,6 +37,7 @@ def parse_method(cfg: Config, n_nodes: int, n_classes: int):
             use_weight=cfg.use_weight, use_graph=cfg.use_graph,
             graph_weight=cfg.graph_weight, use_source=cfg.use_source,
             axis_name="graph" if cfg.n_shards > 1 else None,
+            spmm_first=cfg.spmm_first,
         )
     common = dict(hidden_channels=cfg.hidden_channels,
                   out_channels=n_classes, num_layers=cfg.num_layers,
@@ -178,6 +179,7 @@ def run_node_task(cfg: Config):
                 lr=cfg.lr, weight_decay=cfg.weight_decay, loss=loss,
                 metric=cfg.metric, seed=cfg.seed,
                 spmm=(cfg.spmm if cfg.spmm == "bsr" else "halo"),
+                layout=cfg.layout or None,
                 bsr_tile=cfg.bsr_tile, balance_edges=cfg.balance_edges,
             )
             r = trainer.fit(split, epochs=cfg.epochs, runs=1,

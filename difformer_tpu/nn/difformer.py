@@ -46,6 +46,15 @@ class DIFFormerConv(nn.Module):
     use_source: bool = False
     axis_name: Optional[str] = None  # mesh axis for node-sharded execution
     remat: bool = False              # jax.checkpoint the branch computations
+    # spmm_first: compute the GCN branch as (Â·X)·Wv instead of Â·(X·Wv).
+    # SpMM commutes with the right-matmul (the bias term is corrected via a
+    # ones column: Â(XW + 1bᵀ) = (ÂX)W + (Â1)bᵀ), so the per-edge gather
+    # width drops from H·D to F+1 — an ~8× gather-byte cut at H=8, on the
+    # op that is the measured step bottleneck (BENCH_NOTES roofline: H=8
+    # rows are gather-byte-bound). Off by default for exact reference
+    # operation order (difformer.py:130 applies gcn_conv to the value
+    # projections); results differ only by float reassociation.
+    spmm_first: bool = False
 
     @nn.compact
     def __call__(
@@ -70,7 +79,8 @@ class DIFFormerConv(nn.Module):
         query = TorchLinear(D * H, name="Wq")(query_input).reshape(-1, H, D)
         key = TorchLinear(D * H, name="Wk")(source_input).reshape(-1, H, D)
         if self.use_weight:
-            value = TorchLinear(D * H, name="Wv")(source_input).reshape(-1, H, D)
+            wv = TorchLinear(D * H, name="Wv")
+            value = wv(source_input).reshape(-1, H, D)
         else:
             # reference difformer.py:120 — raw features as a single head
             value = source_input.reshape(-1, 1, D)
@@ -117,8 +127,42 @@ class DIFFormerConv(nn.Module):
         else:
             raise ValueError(f"unknown kernel {self.kernel!r}")
 
+        # spmm_first applies where the branch input is a linear projection
+        # and the operator path supports arbitrary trailing width (ELL/BSR
+        # and the plain segment path; sharded paths keep reference order)
+        spmm_first = (
+            self.spmm_first and self.use_graph and self.use_weight
+            and self.axis_name is None and halo is None and not output_attn
+        )
+
         if self.use_graph:
-            if ell is not None:
+            if spmm_first:
+                ones = jnp.ones((source_input.shape[0], 1),
+                                dtype=source_input.dtype)
+                x_aug = jnp.concatenate([source_input, ones],
+                                        axis=-1)[:, None, :]   # [N, 1, F+1]
+
+                def branch(x_aug):
+                    if ell is not None:
+                        from difformer_tpu.ops.ell import gcn_conv_ell
+
+                        u = gcn_conv_ell(x_aug, ell[0], ell[1])
+                    else:
+                        u = gcn_conv(
+                            x_aug, senders, receivers, edge_weight,
+                            edge_mask=edge_mask,
+                            indices_are_sorted=indices_are_sorted,
+                            edge_chunk_size=edge_chunk_size,
+                        )
+                    u = u[:, 0]                       # [N, F+1]
+                    u_x, rowsum = u[:, :-1], u[:, -1:]
+                    # (ÂX)W + (Â1)bᵀ: wv(u_x) carries +b, correct by (r−1)b
+                    bias = wv(jnp.zeros((1,) + source_input.shape[1:],
+                                        source_input.dtype))
+                    return (wv(u_x) + (rowsum - 1.0) * bias).reshape(-1, H, D)
+
+                graph_output = ckpt(branch)(x_aug)
+            elif ell is not None:
                 # scatter-free degree-bucketed ELL path (ops/ell.py)
                 from difformer_tpu.ops.ell import gcn_conv_ell
 
@@ -198,6 +242,7 @@ class DIFFormer(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None   # e.g. 'bfloat16'; params stay f32
     remat: bool = False
+    spmm_first: bool = False        # (ÂX)Wv branch order — see DIFFormerConv
 
     def _conv(self, i):
         return DIFFormerConv(
@@ -210,6 +255,7 @@ class DIFFormer(nn.Module):
             use_source=self.use_source,
             axis_name=self.axis_name,
             remat=self.remat,
+            spmm_first=self.spmm_first,
             name=f"conv_{i}",
         )
 

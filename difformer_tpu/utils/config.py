@@ -95,8 +95,16 @@ class Config:
     spmm: str = ""                  # '' (use_ell) | coo | ell | bsr (MXU
     #                                 block-sparse hybrid, ops/bsr.py)
     bsr_tile: int = 256
-    reorder: str = ""               # '' | rcm | bfs | degree node reordering
-    #                                 for gather locality / BSR block density
+    reorder: str = ""               # '' | rcm | bfs | degree | community
+    #                                 node reordering for gather locality /
+    #                                 BSR block density
+    spmm_first: bool = False        # GCN branch as (ÂX)Wv: gathers F+1-wide
+    #                                 rows instead of H·D (big win for H>1;
+    #                                 float-reassociation-level deviation
+    #                                 from reference operation order)
+    layout: str = ""                # shard layout: '' (contiguous) |
+    #                                 balanced | locality (community reorder
+    #                                 + min-cut snap, parallel/partition)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -176,3 +176,42 @@ def test_v2_padding_invariance():
     )
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2)[:4], rtol=2e-4,
                                atol=2e-5)
+
+
+def test_spmm_first_matches_reference_order(rng):
+    """(ÂX)Wv == Â(XWv) up to float reassociation — outputs and gradients,
+    plain segment path and ELL path, bias correction included (rows of Â do
+    NOT sum to 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.ops.ell import build_ell_gcn
+
+    n, e, f, c, h = 96, 700, 16, 5, 4
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    xs, sj, rj = jnp.asarray(x), jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32)
+
+    def build(spmm_first):
+        return DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                         num_heads=h, dropout=0.0, spmm_first=spmm_first)
+
+    m0, m1 = build(False), build(True)
+    params = m0.init(jax.random.PRNGKey(0), xs, sj, rj, train=False)["params"]
+
+    for ell in (None, build_ell_gcn(s, r, n)):
+        out0 = m0.apply({"params": params}, xs, sj, rj, train=False, ell=ell)
+        out1 = m1.apply({"params": params}, xs, sj, rj, train=False, ell=ell)
+        np.testing.assert_allclose(out1, out0, rtol=2e-4, atol=2e-5)
+
+        def loss(p, m, ell=ell):
+            return jnp.sum(m.apply({"params": p}, xs, sj, rj, train=False,
+                                   ell=ell) ** 2)
+
+        g0 = jax.grad(loss)(params, m0)
+        g1 = jax.grad(loss)(params, m1)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3,
+                                                    atol=5e-4), g0, g1)
