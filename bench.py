@@ -532,8 +532,12 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     t_mxu = LAYERS * 7 * 2 * pairs * 64 / MXU_FLOPS
     floor_ms = (t_vpu + t_mxu) * 1e3
     pairs_per_s = pairs * LAYERS / t_fast
+    # below the measured crossover the auto dispatch IS the dense path
+    # (ops/sigmoid_attention auto: dense < 8192, Pallas >= 8192), so small-N
+    # rows compare dense-on-sorted vs dense-on-unsorted (≈1.0 by design)
+    impl_label = "flash-sigmoid" if n >= 8192 else "auto-dense-sigmoid"
     return {
-        "graph": f"sigmoid-{n}", "heads": heads, "impl": "flash-sigmoid",
+        "graph": f"sigmoid-{n}", "heads": heads, "impl": impl_label,
         "dense_coverage": None,
         "edges_per_s": round(e * LAYERS / t_fast, 1),
         "pairs_per_s": round(pairs_per_s, 1),
@@ -614,7 +618,7 @@ def main():
 
             budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 900))
             ns_sig = [int(v) for v in os.environ.get(
-                "BENCH_SIGMOID_NS", "4096,32768").split(",") if v]
+                "BENCH_SIGMOID_NS", "4096,8192,32768").split(",") if v]
             for n_sig in ns_sig:
                 env = dict(os.environ, BENCH_SIGMOID_ONLY="1",
                            BENCH_SIGMOID_N=str(n_sig))

@@ -128,11 +128,13 @@ class DIFFormerConv(nn.Module):
             raise ValueError(f"unknown kernel {self.kernel!r}")
 
         # spmm_first applies where the branch input is a linear projection
-        # and the operator path supports arbitrary trailing width (ELL/BSR
-        # and the plain segment path; sharded paths keep reference order)
+        # of source_input; every operator path handles arbitrary trailing
+        # width, and on the sharded paths the win doubles: the halo
+        # all_to_all / all_gather ships F+1-wide feature rows instead of
+        # H·D-wide value rows (8× less ICI wire at H=8)
         spmm_first = (
             self.spmm_first and self.use_graph and self.use_weight
-            and self.axis_name is None and halo is None and not output_attn
+            and not output_attn
         )
 
         if self.use_graph:
@@ -142,19 +144,38 @@ class DIFFormerConv(nn.Module):
                 x_aug = jnp.concatenate([source_input, ones],
                                         axis=-1)[:, None, :]   # [N, 1, F+1]
 
-                def branch(x_aug):
+                def spmm(x_aug):
                     if ell is not None:
                         from difformer_tpu.ops.ell import gcn_conv_ell
 
-                        u = gcn_conv_ell(x_aug, ell[0], ell[1])
-                    else:
-                        u = gcn_conv(
-                            x_aug, senders, receivers, edge_weight,
-                            edge_mask=edge_mask,
-                            indices_are_sorted=indices_are_sorted,
-                            edge_chunk_size=edge_chunk_size,
+                        return gcn_conv_ell(x_aug, ell[0], ell[1])
+                    if self.axis_name is not None and halo is not None:
+                        from difformer_tpu.parallel import sharded_ops as so
+
+                        if isinstance(halo, dict):
+                            return so.gcn_conv_halo_overlap(
+                                x_aug, halo, axis_name=self.axis_name)
+                        send_idx, send_mask, edge_value = halo
+                        return so.gcn_conv_halo(
+                            x_aug, senders, receivers, edge_value,
+                            send_idx, send_mask, axis_name=self.axis_name)
+                    if self.axis_name is not None:
+                        from difformer_tpu.parallel.sharded_ops import (
+                            gcn_conv_sharded,
                         )
-                    u = u[:, 0]                       # [N, F+1]
+
+                        return gcn_conv_sharded(
+                            x_aug, senders, receivers, edge_weight,
+                            edge_mask=edge_mask, axis_name=self.axis_name)
+                    return gcn_conv(
+                        x_aug, senders, receivers, edge_weight,
+                        edge_mask=edge_mask,
+                        indices_are_sorted=indices_are_sorted,
+                        edge_chunk_size=edge_chunk_size,
+                    )
+
+                def branch(x_aug):
+                    u = spmm(x_aug)[:, 0]             # [N, F+1]
                     u_x, rowsum = u[:, :-1], u[:, -1:]
                     # (ÂX)W + (Â1)bᵀ: wv(u_x) carries +b, correct by (r−1)b
                     bias = wv(jnp.zeros((1,) + source_input.shape[1:],

@@ -126,14 +126,18 @@ def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
     L = ks.shape[0]
     if use_pallas is None:
         # Crossover measured on-chip, fwd+bwd, bf16, H=1 (BENCH_NOTES r3
-        # "sigmoid dispatch crossover"): below 4096 every impl sits on the
-        # same ~3 ms dispatch floor (dense marginally ahead), at 4096-8192
-        # the Pallas kernels win 6-16%, and from ~16k the dense/blocked
-        # paths need O(N²) HBM (dense OOMs at 32768) while Pallas stays
-        # O(N·D) and scales to 98.7 Gpairs/s at 65536.
-        use_pallas = (
-            jax.default_backend() == "tpu" and L >= 4096 and qs.shape[0] >= 4096
-        )
+        # "sigmoid dispatch crossover" + model-level bench rows): below
+        # ~8192 every impl sits near the ~3 ms dispatch floor and XLA's
+        # fused dense chain is fastest (model-level: dense 8.2 ms vs flash
+        # 9.6 ms at N=4096) with trivial memory (≤268 MB scores); at 8192
+        # the Pallas kernels win 16% op-level, and from ~16k dense needs
+        # multi-GB [N, L, H] score tensors (OOM at 32768) while Pallas
+        # stays O(N·D) and scales to 98.7 Gpairs/s at 65536. Auto dispatch:
+        # TPU → dense under 8192, Pallas from 8192 up; non-TPU → blocked.
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = on_tpu and L >= 8192 and qs.shape[0] >= 8192
+        if on_tpu and not use_pallas:
+            return sigmoid_attention_dense(qs, ks, vs, key_mask=key_mask)
     if use_pallas:
         from difformer_tpu.kernels.pallas_sigmoid_attention import (
             sigmoid_attention_pallas,

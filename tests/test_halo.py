@@ -95,3 +95,31 @@ def test_sharded_difformer_halo_matches_single(rng, mesh, kernel):
         jax.jit(lambda p, g: apply_fn(p, g))(variables["params"], sg)
     ).reshape(-1, c)[:n]
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_difformer_halo_spmm_first_matches_single(rng, mesh):
+    """spmm_first over the halo path: the all_to_all ships F+1-wide feature
+    rows instead of H*D-wide value rows; results match the single-device
+    reference-order model up to float reassociation."""
+    n, e, f, c, h = 100, 400, 8, 3, 4
+    x, ei, y = random_graph(n, e, f, c, seed=3)
+
+    single = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                       num_heads=h)
+    s = jnp.asarray(ei[0], jnp.int32)
+    r = jnp.asarray(ei[1], jnp.int32)
+    variables = single.init(jax.random.PRNGKey(0), jnp.asarray(x), s, r,
+                            train=False)
+    expect = np.asarray(single.apply(variables, jnp.asarray(x), s, r,
+                                     train=False))
+
+    for build_halo in (True, False):   # halo all_to_all + all_gather paths
+        sharded_model = DIFFormer(hidden_channels=16, out_channels=c,
+                                  num_layers=2, num_heads=h,
+                                  axis_name="graph", spmm_first=True)
+        sg = partition_graph(x, ei, N_DEV, labels=y, build_halo=build_halo)
+        apply_fn = sharded_apply(sharded_model, mesh)
+        got = np.asarray(
+            jax.jit(lambda p, g: apply_fn(p, g))(variables["params"], sg)
+        ).reshape(-1, c)[:n]
+        np.testing.assert_allclose(got, expect, rtol=5e-4, atol=5e-4)
