@@ -284,6 +284,15 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
                       num_heads=heads, kernel="simple", dropout=0.0,
                       use_graph=use_graph, compute_dtype=dtype or None,
                       remat=remat, spmm_first=spmm_first)
+    # the naive baseline must keep the REFERENCE operation order
+    # (gcn_conv over H·D-wide value projections, difformer.py:130) — a
+    # line-by-line port would not have the spmm_first rewrite; same param
+    # tree, so the measured model's init works for both
+    naive_model = DIFFormer(hidden_channels=64, out_channels=C,
+                            num_layers=LAYERS, num_heads=heads,
+                            kernel="simple", dropout=0.0,
+                            use_graph=use_graph,
+                            compute_dtype=dtype or None, remat=remat)
     if spmm_first:
         impl_label += "+spmm1st"
     xs = jnp.asarray(x)
@@ -326,14 +335,16 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         print(f"# BSR built in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
-    def make_multi_step(senders, receivers, sorted_, use_ell=True):
+    def make_multi_step(senders, receivers, sorted_, use_ell=True,
+                        use_model=None):
+        mdl = use_model if use_model is not None else model
         s = jnp.asarray(senders)
         r = jnp.asarray(receivers)
 
         # all large arrays are jit ARGUMENTS (closed-over device arrays
         # would be embedded as constants and wreck compile time)
         def loss(params, xs, s, r, labels, ell_arg):
-            out = model.apply(
+            out = mdl.apply(
                 {"params": params}, xs, s, r, train=False,
                 indices_are_sorted=sorted_, ell=ell_arg,
             )
@@ -389,7 +400,8 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     naive_eps = None
     if run_naive:
         t_naive = timeit(
-            make_multi_step(s_uns, r_uns, False, use_ell=False), "naive",
+            make_multi_step(s_uns, r_uns, False, use_ell=False,
+                            use_model=naive_model), "naive",
             reps=2)
         naive_eps = e * LAYERS / t_naive
     elif (graph, heads) in NAIVE_EDGES_PER_S and (n, e) == (N_DEF, E_DEF):
@@ -616,7 +628,7 @@ def main():
             # timeout.
             import subprocess
 
-            budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 900))
+            budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 600))
             ns_sig = [int(v) for v in os.environ.get(
                 "BENCH_SIGMOID_NS", "4096,8192,32768").split(",") if v]
             for n_sig in ns_sig:
@@ -644,6 +656,11 @@ def main():
                     print(f"# [sigmoid N={n_sig}] row exceeded "
                           f"{budget:.0f}s budget; continuing without it",
                           file=sys.stderr, flush=True)
+                    # killing the child wedges the axon relay for minutes
+                    # (BENCH_NOTES r3) — cool down so the next child is
+                    # not doomed by this one's kill
+                    time.sleep(float(os.environ.get(
+                        "BENCH_SIGMOID_COOLDOWN", 120)))
                 except Exception as err:
                     print(f"# [sigmoid N={n_sig}] row failed ({err}); "
                           f"continuing without it", file=sys.stderr,
