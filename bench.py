@@ -510,7 +510,8 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
               f"(min of {reps})", file=sys.stderr, flush=True)
         return best
 
-    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), "flash")
+    sorted_hint = os.environ.get("BENCH_SIGMOID_SORTED", "1") == "1"
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, sorted_hint), "flash")
 
     # naive: reference-structure dense scores, same model/protocol, swapped
     # in at the model's attention dispatch for the duration of the trace.
