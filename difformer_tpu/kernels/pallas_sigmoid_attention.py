@@ -54,7 +54,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(*refs, apply_mask, d_out):
+def _out_struct(shape, dtype, *like):
+    """ShapeDtypeStruct carrying the union of the operands' varying-mesh-axes
+    (vma) — required when the kernel runs inside ``jax.shard_map`` with
+    check_vma (the ring-sharded attention); a plain struct elsewhere."""
+    try:
+        vma = frozenset().union(*(jax.typeof(x).vma for x in like))
+        if vma:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except Exception:
+        pass
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _fwd_kernel(*refs, apply_mask, d_out, normalize=True):
     if apply_mask:
         q_ref, k_ref, v_ref, m_ref, o_ref, den_ref, acc_scr = refs
     else:
@@ -85,14 +98,20 @@ def _fwd_kernel(*refs, apply_mask, d_out):
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
         den = acc_scr[:, d_out:d_out + 1]
-        o_ref[0] = (acc_scr[:, :d_out] / den).astype(o_ref.dtype)
+        if normalize:
+            o_ref[0] = (acc_scr[:, :d_out] / den).astype(o_ref.dtype)
+        else:
+            o_ref[0] = acc_scr[:, :d_out].astype(o_ref.dtype)
         den_ref[0] = den.astype(den_ref.dtype)
 
 
 def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
-                                       block_k=512, interpret=False):
+                                       block_k=512, interpret=False,
+                                       normalize=True):
     """qs [N,H,M], ks [L,H,M], vs [L,H,D], key_mask [L] or None →
-    out [N,H,D], den [N,H]."""
+    (out [N,H,D], den [N,H]). ``normalize=False`` returns the raw
+    numerator Σσ(qk)·v in f32 instead of num/den — the accumulable form
+    for the ring-sharded attention."""
     N, H, M = qs.shape
     L, _, D = vs.shape
     apply_mask = key_mask is not None
@@ -128,7 +147,8 @@ def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
         operands.append(mask2)
 
     out, den = pl.pallas_call(
-        functools.partial(_fwd_kernel, apply_mask=apply_mask, d_out=D),
+        functools.partial(_fwd_kernel, apply_mask=apply_mask, d_out=D,
+                          normalize=normalize),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -136,8 +156,9 @@ def _sigmoid_attention_pallas_fwd_impl(qs, ks, vs, key_mask, *, block_q=512,
             pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, Np, D), qs.dtype),
-            jax.ShapeDtypeStruct((H, Np, 1), jnp.float32),
+            _out_struct((H, Np, D),
+                        qs.dtype if normalize else jnp.float32, qs, ks, vs),
+            _out_struct((H, Np, 1), jnp.float32, qs, ks, vs),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, D + 1), jnp.float32),
@@ -252,20 +273,32 @@ def _bwd_dkv_kernel(*refs, apply_mask):
 def _sigmoid_attention_pallas_bwd_impl(qs, ks, vs, key_mask, out, den, g, *,
                                        block_q=512, block_k=512,
                                        interpret=False):
-    """Pallas backward: recompute score tiles, no [N, L] HBM intermediates.
+    """Pallas backward of the NORMALIZED op: derive (dnum, dden) from the
+    output cotangent, then run the shared kernels.
 
     Inputs: residuals (qs [N,H,M], ks [L,H,M], vs [L,H,D], key_mask [L]|None,
     out [N,H,D], den [N,H] f32) and cotangent g [N,H,D].
     Returns (dq, dk, dv) in the input dtypes.
     """
-    N, H, M = qs.shape
-    L, _, D = vs.shape
-    apply_mask = key_mask is not None
-
     g32 = g.astype(jnp.float32)
     out32 = out.astype(jnp.float32)
     dnum = g32 / den[..., None]                         # [N, H, D]
     dden = -jnp.sum(g32 * out32, axis=-1) / den         # [N, H]
+    return _pallas_bwd_kernels(qs, ks, vs, key_mask, dnum, dden,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+
+
+def _pallas_bwd_kernels(qs, ks, vs, key_mask, dnum, dden, *,
+                        block_q=512, block_k=512, interpret=False):
+    """Shared Pallas backward: recompute score tiles, no [N, L] HBM
+    intermediates. ``dnum`` [N,H,D] f32 and ``dden`` [N,H] f32 are the
+    cotangents of the raw numerator Σσ(qk)·v and denominator Σσ(qk)
+    (for the normalized op they are derived from g/out/den; for the
+    unnormalized op they ARE the output cotangents)."""
+    N, H, M = qs.shape
+    L, _, D = vs.shape
+    apply_mask = key_mask is not None
 
     bq = min(block_q, _round_up(N, 8))
     bk = min(block_k, _round_up(L, 8))
@@ -304,7 +337,7 @@ def _sigmoid_attention_pallas_bwd_impl(qs, ks, vs, key_mask, out, den, g, *,
         grid=(H, Np // bq, Lp // bk),
         in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, bq, M), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, Np, M), qs.dtype),
+        out_shape=_out_struct((H, Np, M), qs.dtype, qs, ks, vs, dnum),
         scratch_shapes=[pltpu.VMEM((bq, M), jnp.float32)],
         interpret=interpret,
     )(qT, kT, vT, dnT, ddT, *mask_ops)
@@ -327,8 +360,8 @@ def _sigmoid_attention_pallas_bwd_impl(qs, ks, vs, key_mask, out, den, g, *,
             pl.BlockSpec((1, bk, D), lambda h, j, i: (h, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, Lp, M), ks.dtype),
-            jax.ShapeDtypeStruct((H, Lp, D), vs.dtype),
+            _out_struct((H, Lp, M), ks.dtype, qs, ks, vs, dnum),
+            _out_struct((H, Lp, D), vs.dtype, qs, ks, vs, dnum),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, M), jnp.float32),
@@ -387,6 +420,48 @@ def _bwd(interpret, xla_bwd, residuals, g):
 
 
 _sigmoid_attention_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sigmoid_attention_pallas_unnorm(qs, ks, vs, key_mask, interpret):
+    num, den = _sigmoid_attention_pallas_fwd_impl(
+        qs, ks, vs, key_mask, interpret=interpret, normalize=False)
+    return num, den
+
+
+def _unnorm_fwd(qs, ks, vs, key_mask, interpret):
+    num, den = _sigmoid_attention_pallas_fwd_impl(
+        qs, ks, vs, key_mask, interpret=interpret, normalize=False)
+    return (num, den), (qs, ks, vs, key_mask)
+
+
+def _unnorm_bwd(interpret, residuals, g):
+    qs, ks, vs, key_mask = residuals
+    g_num, g_den = g
+    dq, dk, dv = _pallas_bwd_kernels(
+        qs, ks, vs, key_mask,
+        g_num.astype(jnp.float32), g_den.astype(jnp.float32),
+        interpret=interpret)
+    d_mask = None if key_mask is None else jnp.zeros_like(key_mask)
+    return dq, dk, dv, d_mask
+
+
+_sigmoid_attention_pallas_unnorm.defvjp(_unnorm_fwd, _unnorm_bwd)
+
+
+def sigmoid_attention_pallas_unnormalized(qs, ks, vs, key_mask=None, *,
+                                          interpret=False):
+    """Raw (numerator, denominator) form: returns
+    ``(Σ_l σ(q·k_l)·v_l [N,H,D] f32, Σ_l σ(q·k_l) [N,H] f32)`` without the
+    final division — the partial sums are ACCUMULABLE across key shards,
+    which is exactly what the ring-sharded attention
+    (``parallel.sharded_ops.sigmoid_attention_sharded``) needs per ring
+    step. Same Pallas fwd/bwd kernels as the normalized op (the backward
+    takes (dnum, dden) directly instead of deriving them from g/out/den),
+    so the ring path inherits the round-3 compile-time fix."""
+    if key_mask is not None:
+        key_mask = key_mask.astype(jnp.float32)
+    return _sigmoid_attention_pallas_unnorm(qs, ks, vs, key_mask, interpret)
 
 
 def sigmoid_attention_pallas(qs, ks, vs, key_mask=None, *, interpret=False,

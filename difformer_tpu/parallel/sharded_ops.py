@@ -161,7 +161,8 @@ def collective_bytes_per_layer(sg, *, feat_dim, num_heads=1,
     return out
 
 
-def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
+def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph",
+                              use_pallas=None, interpret=False):
     """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
 
     Globally equivalent to ``ops.sigmoid_attention.sigmoid_attention`` on the
@@ -170,16 +171,64 @@ def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph"):
     the ring (ICI neighbor exchange), overlapping naturally under XLA's
     latency-hiding scheduler.
 
-    Like the Pallas flash kernel, the denominator rides the MXU as a
-    ones-column appended to V (the op is VPU-bound: the N²/S sigmoids per
-    step dominate), and the mask multiply only exists when a real
-    ``key_mask`` is passed.
+    Per-step score math dispatches like the single-chip op: on TPU at
+    N_loc ≥ 4096 each ring step runs the Pallas flash kernels in their
+    UNNORMALIZED form (``sigmoid_attention_pallas_unnormalized`` — raw
+    numerator/denominator partial sums, accumulable across shards), which
+    also carries the round-3 Pallas backward: differentiating the XLA
+    einsum form below through the ring scan reproduces the scan-of-einsums
+    compile pathology at scale (BENCH_NOTES r2/r3). The XLA form stays the
+    small-shard / CPU path; like the Pallas kernel it rides the denominator
+    as a ones-column of V and only multiplies a mask when one is passed.
     """
     use_mask = key_mask is not None
     if use_mask:
         key_mask = key_mask.astype(jnp.float32)
     n_shards = _axis_size(axis_name)
     d_out = vs.shape[2]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and qs.shape[0] >= 4096 and ks.shape[0] >= 4096)
+    if use_pallas:
+        from difformer_tpu.kernels.pallas_sigmoid_attention import (
+            sigmoid_attention_pallas_unnormalized,
+        )
+
+        def step_p(carry, _):
+            if use_mask:
+                num, den, k_c, v_c, m_c = carry
+            else:
+                num, den, k_c, v_c = carry
+            num_p, den_p = sigmoid_attention_pallas_unnormalized(
+                qs, k_c, v_c, m_c if use_mask else None,
+                interpret=interpret)
+            num = num + num_p
+            den = den + den_p
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            k_c = jax.lax.ppermute(k_c, axis_name, perm)
+            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+            if use_mask:
+                m_c = jax.lax.ppermute(m_c, axis_name, perm)
+                return (num, den, k_c, v_c, m_c), None
+            return (num, den, k_c, v_c), None
+
+        def _varying_p(x):
+            if hasattr(jax.lax, "pcast"):
+                try:
+                    return jax.lax.pcast(x, (axis_name,), to="varying")
+                except ValueError:
+                    return x
+            return x
+
+        num0 = _varying_p(
+            jnp.zeros((qs.shape[0], qs.shape[1], d_out), jnp.float32))
+        den0 = _varying_p(
+            jnp.zeros((qs.shape[0], qs.shape[1]), jnp.float32))
+        init = ((num0, den0, ks, vs, key_mask) if use_mask
+                else (num0, den0, ks, vs))
+        carry, _ = jax.lax.scan(step_p, init, None, length=n_shards)
+        num, den = carry[0], carry[1]
+        return (num / den[..., None]).astype(qs.dtype)
     # ones column: Σ_l s_l rides the second matmul as output column d_out
     vs = jnp.concatenate(
         [vs, jnp.ones(vs.shape[:2] + (1,), vs.dtype)], axis=-1)

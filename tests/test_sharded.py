@@ -196,3 +196,79 @@ def test_halo_bytes_much_less_than_allgather_on_clustered_graph():
     assert comm["halo_real"] <= comm["halo_wire"]
     # psum payload is N-independent and tiny
     assert comm["attn_psum"] < comm["allgather"] / 10
+
+
+def test_ring_sigmoid_pallas_matches_single(rng, mesh):
+    """Ring attention with the Pallas unnormalized per-step kernels
+    (interpret mode on CPU): forward parity + gradient parity vs the
+    single-device blockwise op."""
+    n, h, m, d = 64, 2, 4, 4
+    q = rng.normal(size=(n, h, m)).astype(np.float32)
+    k = rng.normal(size=(n, h, m)).astype(np.float32)
+    v = rng.normal(size=(n, h, d)).astype(np.float32)
+    qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    expect = sigmoid_attention(qj, kj, vj, use_pallas=False)
+
+    def body(q_l, k_l, v_l):
+        return sigmoid_attention_sharded(q_l, k_l, v_l, axis_name="graph",
+                                         use_pallas=True, interpret=True)
+
+    # check_vma=False: the Pallas HLO *interpreter* internally mixes
+    # varying/unvarying operands in a dynamic_slice and trips the vma
+    # checker (jax-ml/jax interpreter limitation); the compiled TPU path
+    # threads vma through _out_struct and does not need this.
+    f = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("graph"), P("graph"), P("graph")),
+            out_specs=P("graph"),
+            check_vma=False,
+        )
+    )
+    got = f(qj, kj, vj)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-5)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(f(q, k, v) ** 2)
+
+    def loss_single(q, k, v):
+        return jnp.sum(sigmoid_attention(q, k, v, use_pallas=False) ** 2)
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(qj, kj, vj)
+    gs = jax.grad(loss_single, argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(gr, gs):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_unnormalized_matches_dense(rng):
+    """Raw (num, den) form vs explicit scores; grads via autodiff parity."""
+    from difformer_tpu.kernels.pallas_sigmoid_attention import (
+        sigmoid_attention_pallas_unnormalized,
+    )
+
+    n, l, h, m, d = 48, 56, 2, 8, 8
+    q = jnp.asarray(rng.normal(size=(n, h, m)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(l, h, m)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(l, h, d)).astype(np.float32))
+
+    num, den = sigmoid_attention_pallas_unnormalized(q, k, v, interpret=True)
+    scores = jax.nn.sigmoid(jnp.einsum("nhm,lhm->nlh", q, k))
+    np.testing.assert_allclose(num, jnp.einsum("nlh,lhd->nhd", scores, v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(den, scores.sum(axis=1), rtol=1e-4, atol=1e-5)
+
+    def loss_p(q, k, v):
+        num, den = sigmoid_attention_pallas_unnormalized(q, k, v,
+                                                         interpret=True)
+        return jnp.sum(num ** 2) + jnp.sum(jnp.sin(den))
+
+    def loss_ref(q, k, v):
+        s = jax.nn.sigmoid(jnp.einsum("nhm,lhm->nlh", q, k))
+        return (jnp.sum(jnp.einsum("nlh,lhd->nhd", s, v) ** 2)
+                + jnp.sum(jnp.sin(s.sum(axis=1))))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
