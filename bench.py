@@ -537,13 +537,23 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     else:
         naive_note = "reference dense path OOMs at this N"
 
-    # roofline: 3 score-tile evaluations per layer-step (fwd + dq + dkv
-    # backward recomputes) at the measured VPU sigmoid floor, plus the 7
-    # N²-rank matmuls on the MXU (BENCH_NOTES "VPU-bound analysis")
+    # roofline, matched to the path the auto dispatch actually runs:
+    #  * flash (n >= 8192): 3 score-tile evaluations per layer-step (fwd +
+    #    dq + dkv backward recomputes) at the measured VPU sigmoid floor,
+    #    plus 7 N²-rank MXU matmuls (BENCH_NOTES "VPU-bound analysis")
+    #  * dense (n < 8192): 1 sigmoid evaluation (scores materialized, the
+    #    backward reuses them), ~5 N²-rank matmuls, plus streaming the
+    #    [N, L, H] f32 score tensor to and from HBM (write fwd, read bwd)
     pairs = float(n) * n * heads
-    t_vpu = LAYERS * 3 * pairs / SIGMOID_VPU_PAIRS
-    t_mxu = LAYERS * 7 * 2 * pairs * 64 / MXU_FLOPS
-    floor_ms = (t_vpu + t_mxu) * 1e3
+    if n >= 8192:
+        t_vpu = LAYERS * 3 * pairs / SIGMOID_VPU_PAIRS
+        t_mxu = LAYERS * 7 * 2 * pairs * 64 / MXU_FLOPS
+        t_stream = 0.0
+    else:
+        t_vpu = LAYERS * 1 * pairs / SIGMOID_VPU_PAIRS
+        t_mxu = LAYERS * 5 * 2 * pairs * 64 / MXU_FLOPS
+        t_stream = LAYERS * 2 * pairs * 4 / HBM_GBPS
+    floor_ms = (t_vpu + t_mxu + t_stream) * 1e3
     pairs_per_s = pairs * LAYERS / t_fast
     # below the measured crossover the auto dispatch IS the dense path
     # (ops/sigmoid_attention auto: dense < 8192, Pallas >= 8192), so small-N
@@ -565,6 +575,7 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
         "roofline": {
             "vpu_sigmoid_ms": round(t_vpu * 1e3, 2),
             "mxu_ms": round(t_mxu * 1e3, 2),
+            "score_stream_ms": round(t_stream * 1e3, 2),
             "roofline_ms": round(floor_ms, 2),
             "pct_of_roofline": round(100.0 * floor_ms / (t_fast * 1e3), 1),
         },

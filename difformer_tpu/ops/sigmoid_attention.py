@@ -135,7 +135,11 @@ def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
         # stays O(N·D) and scales to 98.7 Gpairs/s at 65536. Auto dispatch:
         # TPU → dense under 8192, Pallas from 8192 up; non-TPU → blocked.
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = on_tpu and L >= 8192 and qs.shape[0] >= 8192
+        # Pallas when EITHER side is large: the measured crossover only
+        # justifies dense for small-square shapes — a rectangular call with
+        # one big side (e.g. N=131072, L=4096 cross-attention) would
+        # materialize a multi-GB [N, L, H] tensor on the dense path
+        use_pallas = on_tpu and (L >= 8192 or qs.shape[0] >= 8192)
         if on_tpu and not use_pallas:
             return sigmoid_attention_dense(qs, ks, vs, key_mask=key_mask)
     if use_pallas:

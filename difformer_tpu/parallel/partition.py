@@ -147,7 +147,10 @@ def locality_layout(edge_index, num_nodes: int, n_shards: int, *,
         target = k * total / n_shards
         lo = int(np.searchsorted(c, target - tol, side="left")) + 1
         hi = int(np.searchsorted(c, target + tol, side="right")) + 1
-        lo = max(lo, prev + 1)
+        # hub-dominated graphs can push the whole degree mass past the
+        # target (lo lands at/after num_nodes) — clamp so the window is
+        # never empty (a star graph previously crashed argmin here)
+        lo = min(max(lo, prev + 1), num_nodes - 1)
         hi = min(max(hi, lo + 1), num_nodes)
         b = lo + int(np.argmin(cross[lo:hi]))
         cuts.append(b)

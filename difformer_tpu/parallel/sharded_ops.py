@@ -161,6 +161,18 @@ def collective_bytes_per_layer(sg, *, feat_dim, num_heads=1,
     return out
 
 
+def _varying(x, axis_name):
+    """Mark a zero-filled / constant array device-varying so scan carry
+    types match under shard_map's vma tracking (constants start
+    'unvarying'; after one ppermute the carried value is varying)."""
+    if hasattr(jax.lax, "pcast"):
+        try:
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        except ValueError:
+            return x  # already varying
+    return x
+
+
 def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph",
                               use_pallas=None, interpret=False):
     """Ring sigmoid attention: qs/ks/vs are local shards [N_loc, H, M/D].
@@ -212,20 +224,13 @@ def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph",
                 return (num, den, k_c, v_c, m_c), None
             return (num, den, k_c, v_c), None
 
-        def _varying_p(x):
-            if hasattr(jax.lax, "pcast"):
-                try:
-                    return jax.lax.pcast(x, (axis_name,), to="varying")
-                except ValueError:
-                    return x
-            return x
-
-        num0 = _varying_p(
-            jnp.zeros((qs.shape[0], qs.shape[1], d_out), jnp.float32))
-        den0 = _varying_p(
-            jnp.zeros((qs.shape[0], qs.shape[1]), jnp.float32))
-        init = ((num0, den0, ks, vs, key_mask) if use_mask
-                else (num0, den0, ks, vs))
+        num0 = _varying(
+            jnp.zeros((qs.shape[0], qs.shape[1], d_out), jnp.float32),
+            axis_name)
+        den0 = _varying(
+            jnp.zeros((qs.shape[0], qs.shape[1]), jnp.float32), axis_name)
+        init = ((num0, den0, ks, vs, _varying(key_mask, axis_name))
+                if use_mask else (num0, den0, ks, vs))
         carry, _ = jax.lax.scan(step_p, init, None, length=n_shards)
         num, den = carry[0], carry[1]
         return (num / den[..., None]).astype(qs.dtype)
@@ -254,20 +259,11 @@ def sigmoid_attention_sharded(qs, ks, vs, *, key_mask=None, axis_name="graph",
             return (num, k_c, v_c, m_c), None
         return (num, k_c, v_c), None
 
-    def _varying(x):
-        # zero-filled / constant carries start 'unvarying' under shard_map's
-        # vma tracking; mark them device-varying so the scan carry types match
-        if hasattr(jax.lax, "pcast"):
-            try:
-                return jax.lax.pcast(x, (axis_name,), to="varying")
-            except ValueError:
-                return x  # already varying
-        return x
-
     acc0 = _varying(
-        jnp.zeros((qs.shape[0], qs.shape[1], d_out + 1), jnp.float32))
+        jnp.zeros((qs.shape[0], qs.shape[1], d_out + 1), jnp.float32),
+        axis_name)
     if use_mask:
-        init = (acc0, ks, vs, _varying(key_mask))
+        init = (acc0, ks, vs, _varying(key_mask, axis_name))
     else:
         init = (acc0, ks, vs)
     carry, _ = jax.lax.scan(step, init, None, length=n_shards)

@@ -69,7 +69,7 @@ class DistributedTrainer:
 
         # layout: 'contiguous' (equal node blocks) | 'balanced'
         # (degree-balanced cuts, = balance_edges=True) | 'locality'
-        # (RCM reorder + degree-balanced cuts + min-cut snap — the
+        # (label-prop community reorder + degree-balanced cuts + min-cut snap — the
         # halo-minimizing production layout for community graphs)
         if layout is None:
             layout = "balanced" if balance_edges else "contiguous"
@@ -109,7 +109,7 @@ class DistributedTrainer:
                 # degree-balanced contiguous shards (SURVEY §7.3 risk 4):
                 # equal cumulative receiver degree per shard instead of
                 # equal node count — the slowest shard gates every psum.
-                # 'locality' additionally RCM-reorders and snaps cuts to
+                # 'locality' additionally community-reorders (label prop) and snaps cuts to
                 # community boundaries (minimizes halo bytes).
                 from difformer_tpu.parallel.partition import (
                     edge_balanced_layout,

@@ -41,7 +41,8 @@ def main():
                    choices=["uniform", "clustered", "powerlaw"])
     p.add_argument("--layout", default="locality",
                    choices=["contiguous", "balanced", "locality"],
-                   help="shard layout; 'locality' = RCM + min-cut snap")
+                   help="shard layout; 'locality' = label-prop community "
+                        "reorder + min-cut snap")
     p.add_argument("--shuffle", action="store_true",
                    help="randomly relabel node ids first (real graphs do "
                         "not arrive community-sorted; the synthetic SBM "

@@ -52,9 +52,13 @@ gdrive() {
   mkdir -p "$(dirname "$target")"
   [ -f "$target" ] || gdown --id "$id" -O "$target"
   local rel="${target#"$DATA_DIR"/}"
-  grep -qF "  $rel" "$SUMS" \
-    && (cd "$DATA_DIR" && grep -F "  $rel" CHECKSUMS.sha256 | sha256sum -c -) \
-    || (cd "$DATA_DIR" && sha256sum "$rel" >> CHECKSUMS.sha256)
+  # if/else (NOT `verify || pin`): a failed verification must abort, never
+  # fall through and re-pin the corrupted file's hash
+  if grep -qF "  $rel" "$SUMS"; then
+    (cd "$DATA_DIR" && grep -F "  $rel" CHECKSUMS.sha256 | sha256sum -c -)
+  else
+    (cd "$DATA_DIR" && sha256sum "$rel" >> CHECKSUMS.sha256)
+  fi
 }
 
 for fam in ${FAMILIES[@]}; do case "$fam" in

@@ -1,4 +1,5 @@
-"""Locality-aware partition layout (RCM + degree-balanced cuts + min-cut
+"""Locality-aware partition layout (label-propagation community reorder
++ degree-balanced cuts + min-cut
 snap): halo-traffic regression gate + numerical parity with single-device.
 
 The reference has no distributed layer at all (SURVEY.md §2.6); this guards
@@ -118,3 +119,30 @@ def test_boundary_rows_matches_built_plan():
     sg = partition_graph(x, ei, N_DEV, node_perm=perm,
                          nodes_per_shard=n_loc, build_halo=True)
     assert boundary_rows(ei, perm, n_loc) == int(np.asarray(sg.send_mask).sum())
+
+
+def test_locality_layout_star_graph():
+    """Hub-dominated degree mass used to crash the cut search (argmin of an
+    empty window when searchsorted lands past the last node)."""
+    n = 64
+    ei = np.stack([np.arange(1, n), np.zeros(n - 1, np.int64)])
+    perm, n_loc = locality_layout(ei, n, 4)
+    assert np.unique(perm).shape[0] == n
+    # edges all land on the hub's shard; layout is valid even if unbalanced
+    assert perm.max() < 4 * n_loc
+
+
+def test_label_propagation_degenerate_graphs():
+    """Empty and self-loop-only graphs: numpy fallback must not crash and
+    must agree with the native path (every node its own community)."""
+    from difformer_tpu.data.transforms import label_propagation
+
+    for ei in (np.zeros((2, 0), np.int64),
+               np.stack([np.arange(4), np.arange(4)])):
+        lab = label_propagation(ei, 5, use_native=False)
+        np.testing.assert_array_equal(np.sort(np.unique(lab)), np.arange(5))
+        try:
+            lab_n = label_propagation(ei, 5)
+            assert np.unique(lab_n).shape[0] == 5
+        except Exception:
+            pass  # native lib absent is fine; the fallback is the contract
