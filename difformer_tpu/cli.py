@@ -58,9 +58,9 @@ def parse_method(cfg: Config, n_nodes: int, n_classes: int):
     if m == "mixhop":
         return Z.MixHop(**common, hops=cfg.hops)
     if m == "gcnjk":
-        return Z.GCNJK(**common)
+        return Z.GCNJK(**common, jk_type=cfg.jk_type)
     if m == "gatjk":
-        return Z.GATJK(**common, heads=cfg.gat_heads)
+        return Z.GATJK(**common, heads=cfg.gat_heads, jk_type=cfg.jk_type)
     if m == "h2gcn":
         return Z.H2GCN(**common)
     if m == "appnp":
@@ -73,7 +73,7 @@ def parse_method(cfg: Config, n_nodes: int, n_classes: int):
                         alpha=cfg.gpr_alpha)
     if m == "dcrnn":
         return DCRNN(hidden_channels=cfg.hidden_channels,
-                     out_channels=n_classes)
+                     out_channels=n_classes, K=cfg.dcrnn_filters)
     if m == "mpnn_lstm":
         return MPNNLSTM(hidden_channels=cfg.hidden_channels,
                         out_channels=n_classes, num_nodes=n_nodes, window=1,
@@ -106,7 +106,10 @@ def run_node_task(cfg: Config):
         ei = knn_graph(x, cfg.knn_k, include_self=True)  # image-text/main.py:51-54
     else:
         ei = ds.graph["edge_index"]
-    ei = standard_preprocess(ei, n)  # main.py:72-76
+    # reference main.py:72: prep is skipped for --directed AND always for
+    # ogbn-proteins (its edge list ships pre-symmetrized with self loops)
+    if not cfg.directed and cfg.dataset != "ogbn-proteins":
+        ei = standard_preprocess(ei, n)  # main.py:72-76
 
     perm = None
     if cfg.reorder:
@@ -274,6 +277,7 @@ def run_node_task(cfg: Config):
             r = trainer.fit(split_for(run), epochs=cfg.epochs, runs=1,
                             logger=logger, eval_step=cfg.eval_step,
                             verbose=True, display_step=cfg.display_step,
+                            print_prop=cfg.print_prop,
                             save_best=cfg.save_model)
             if cfg.save_model and r[-1].get("params") is not None:
                 from difformer_tpu.train.checkpoint import save_checkpoint

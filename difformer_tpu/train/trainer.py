@@ -237,6 +237,7 @@ class FullBatchTrainer:
         checkpoint_every: int = 0,
         resume: bool = False,
         init_params=None,
+        print_prop: bool = False,
     ):
         """``ckpt_dir`` + ``checkpoint_every=N`` writes a full training
         checkpoint (params, optimizer state, rng, best-val scalar) every N
@@ -270,7 +271,7 @@ class FullBatchTrainer:
                 rng, step_rng = jax.random.split(rng)
                 state, loss = self.train_step(state, step_rng, train_mask)
                 if epoch % eval_step == 0 or epoch == epochs - 1:
-                    res, _ = self.evaluate(state, split_idx)
+                    res, out = self.evaluate(state, split_idx)
                     if logger is not None:
                         logger.add_result(
                             run, (res["train"], res["valid"], res["test"])
@@ -287,6 +288,12 @@ class FullBatchTrainer:
                             f"train {res['train']:.4f} valid {res['valid']:.4f} "
                             f"test {res['test']:.4f}"
                         )
+                        if print_prop:
+                            # reference main.py:149-151 diagnostic
+                            pred = out.argmax(axis=-1)
+                            _, counts = np.unique(pred, return_counts=True)
+                            print("Predicted proportions:",
+                                  counts / pred.shape[0])
                 if mgr is not None and (epoch + 1) % checkpoint_every == 0:
                     mgr.save(epoch, {
                         "state": jax.tree_util.tree_map(np.asarray, state),

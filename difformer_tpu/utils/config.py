@@ -98,6 +98,15 @@ class Config:
     reorder: str = ""               # '' | rcm | bfs | degree | community
     #                                 node reordering for gather locality /
     #                                 BSR block density
+    jk_type: str = "max"            # gcnjk/gatjk aggregation: max|cat|lstm
+    dcrnn_filters: int = 1          # DCRNN diffusion filter size K
+    #                                 (spatial-temporal parse.py:103)
+    directed: bool = False          # skip symmetrize/self-loops prep
+    #                                 (reference main.py:72: user flag; the
+    #                                 prep is also skipped for ogbn-proteins
+    #                                 regardless)
+    print_prop: bool = False        # print predicted class proportions at
+    #                                 display steps (main.py:149-151)
     spmm_first: bool = False        # GCN branch as (ÂX)Wv: gathers F+1-wide
     #                                 rows instead of H·D (big win for H>1;
     #                                 float-reassociation-level deviation
