@@ -88,7 +88,12 @@ BCE_DATASETS = {"yelp-chi", "deezer-europe", "twitch-e", "fb100",
 def run_node_task(cfg: Config):
     from difformer_tpu.data.graph import GraphData
     from difformer_tpu.data.loaders import load_dataset
-    from difformer_tpu.data.transforms import knn_graph, standard_preprocess
+    from difformer_tpu.data.transforms import (
+        add_self_loops,
+        knn_graph,
+        remove_self_loops,
+        to_undirected,
+    )
     from difformer_tpu.train import FullBatchTrainer
     from difformer_tpu.train.minibatch import MiniBatchTrainer
     from difformer_tpu.utils.logger import RunLogger
@@ -106,10 +111,13 @@ def run_node_task(cfg: Config):
         ei = knn_graph(x, cfg.knn_k, include_self=True)  # image-text/main.py:51-54
     else:
         ei = ds.graph["edge_index"]
-    # reference main.py:72: prep is skipped for --directed AND always for
-    # ogbn-proteins (its edge list ships pre-symmetrized with self loops)
+    # reference main.py:71-76: ONLY the symmetrization is gated (skipped
+    # for --directed and always for ogbn-proteins); self-loop removal +
+    # re-addition run unconditionally
     if not cfg.directed and cfg.dataset != "ogbn-proteins":
-        ei = standard_preprocess(ei, n)  # main.py:72-76
+        ei = to_undirected(ei)
+    ei, _ = remove_self_loops(ei)
+    ei, _ = add_self_loops(ei, n)
 
     perm = None
     if cfg.reorder:

@@ -327,7 +327,8 @@ def label_propagation(edge_index, num_nodes, iters=10, seed=0,
     keep = src != dst
     src, dst = src[keep], dst[keep]
     if src.size == 0:       # empty / self-loop-only graph: every node its
-        return np.arange(num_nodes)   # own community (native path agrees)
+        # own community (native path agrees); int64 like the main path
+        return np.arange(num_nodes, dtype=np.int64)
     labels = np.arange(num_nodes, dtype=np.int64)
     rng = np.random.default_rng(seed)
     # tiny random tie-break priority so symmetric ties don't oscillate

@@ -160,6 +160,23 @@ def locality_layout(edge_index, num_nodes: int, n_shards: int, *,
 
     counts = np.diff(bounds)
     n_loc = max(int(counts.max()), 1)
+    if n_loc * n_shards > 2 * num_nodes:
+        # degenerate degree distribution (e.g. a few hubs carry most of the
+        # receiver mass): the degree-balanced cut would give one shard
+        # nearly all nodes, and padding every shard to that size blows
+        # memory n_shards-fold. Fall back to the contiguous equal-node cut
+        # of the (still locality-reordered) graph — balanced memory, and
+        # community locality is preserved.
+        import warnings
+
+        warnings.warn(
+            f"locality_layout: degree-balanced cuts degenerate "
+            f"(max shard {n_loc} of {num_nodes} nodes); falling back to "
+            f"equal-node cuts on the reordered graph", stacklevel=2)
+        base = -(-num_nodes // n_shards)
+        n_loc = -(-base // node_align) * node_align
+        shard = perm0 // base
+        return shard * n_loc + (perm0 - shard * base), n_loc
     n_loc = -(-n_loc // node_align) * node_align
     pos_of_new = np.empty(num_nodes, np.int64)
     for s in range(n_shards):

@@ -30,6 +30,18 @@ touch "$SUMS"
 
 note() { printf '\n== %s\n' "$*"; }
 
+# pin_or_verify REL — verify against the pinned sha256 (abort on mismatch)
+# or pin it on first sight. Shared by fetch() and gdrive() so the logic
+# cannot drift between them.
+pin_or_verify() {
+  local rel="$1"
+  if grep -qF "  $rel" "$SUMS"; then
+    (cd "$DATA_DIR" && grep -F "  $rel" CHECKSUMS.sha256 | sha256sum -c -)
+  else
+    (cd "$DATA_DIR" && sha256sum "$rel" >> CHECKSUMS.sha256)
+  fi
+}
+
 # fetch URL TARGET  — download, then record/verify sha256
 fetch() {
   local url="$1" target="$DATA_DIR/$2"
@@ -38,12 +50,7 @@ fetch() {
     echo "GET $url -> $target"
     curl -L --fail --retry 3 -o "$target" "$url"
   fi
-  local rel="${target#"$DATA_DIR"/}"
-  if grep -qF "  $rel" "$SUMS"; then
-    (cd "$DATA_DIR" && grep -F "  $rel" CHECKSUMS.sha256 | sha256sum -c -)
-  else
-    (cd "$DATA_DIR" && sha256sum "$rel" >> CHECKSUMS.sha256)
-  fi
+  pin_or_verify "${target#"$DATA_DIR"/}"
 }
 
 # gdrive FILE_ID TARGET — Google Drive artifacts (reference data_utils.py)
@@ -51,14 +58,7 @@ gdrive() {
   local id="$1" target="$DATA_DIR/$2"
   mkdir -p "$(dirname "$target")"
   [ -f "$target" ] || gdown --id "$id" -O "$target"
-  local rel="${target#"$DATA_DIR"/}"
-  # if/else (NOT `verify || pin`): a failed verification must abort, never
-  # fall through and re-pin the corrupted file's hash
-  if grep -qF "  $rel" "$SUMS"; then
-    (cd "$DATA_DIR" && grep -F "  $rel" CHECKSUMS.sha256 | sha256sum -c -)
-  else
-    (cd "$DATA_DIR" && sha256sum "$rel" >> CHECKSUMS.sha256)
-  fi
+  pin_or_verify "${target#"$DATA_DIR"/}"
 }
 
 for fam in ${FAMILIES[@]}; do case "$fam" in
