@@ -38,6 +38,11 @@ compile on the TPU backend at N≥8192 (BENCH_NOTES.md round-2 entry); the
 Pallas backward sidesteps the XLA scan entirely and is also what removes the
 [N, block, H] f32 HBM intermediates. Gradient math identical to the blocked
 path: s = σ(q·k), ds = dnum·vᵀ + dden, dlogit = ds·s·(1−s).
+
+``key_mask`` contract: the backward computes dlogit from the already-masked
+score (m·σ·(1−m·σ)), identical to m·σ·(1−σ) only for binary masks. Both the
+blocked XLA backward and these kernels share that convention — key_mask must
+be 0/1 (it marks padded keys, the only use in this codebase).
 """
 
 from __future__ import annotations

@@ -115,33 +115,63 @@ def _blocked_bwd(block_size, residuals, g):
 _sigmoid_attention_blocked.defvjp(_blocked_fwd, _blocked_bwd)
 
 
-def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=1024,
+def _auto_dispatch(N, L, H, *, on_tpu, explicit_block):
+    """Implementation choice for :func:`sigmoid_attention`.
+
+    Crossover measured on-chip, fwd+bwd, bf16, H=1 (BENCH_NOTES r3
+    "sigmoid dispatch crossover" + model-level bench rows): below ~8192
+    every impl sits near the ~3 ms dispatch floor and XLA's fused dense
+    chain is fastest (model-level: dense 8.2 ms vs flash 9.6 ms at N=4096)
+    with trivial memory (≤268 MB scores); at 8192 the Pallas kernels win
+    16% op-level, and from ~16k dense needs multi-GB [N, L, H] score
+    tensors (OOM at 32768) while Pallas stays O(N·D) and scales to
+    98.7 Gpairs/s at 65536. Pallas triggers when EITHER side is large:
+    the crossover only justifies dense for small-square shapes — a
+    rectangular call with one big side would materialize a multi-GB
+    [N, L, H] tensor on the dense path.
+
+    The H=1-measured dense envelope is additionally gated on total score
+    elements (N·L·H ≤ 64M = 256 MB f32 — the N=L=8192 H=1 point), because
+    the dense score tensor plus its backward cotangent scales linearly
+    with heads; and an explicitly passed block_size opts out of dense (the
+    caller asked for bounded memory). Non-TPU backends use the blocked
+    XLA path (the Pallas backward kernels are TPU-Mosaic only; the legacy
+    blocked backward compiles fine there).
+    """
+    if not on_tpu:
+        return "blocked"
+    if L >= 8192 or N >= 8192:
+        return "pallas"
+    if N * L * H > 8192 * 8192 or explicit_block:
+        return "pallas"
+    return "dense"
+
+
+def sigmoid_attention(qs, ks, vs, *, key_mask=None, block_size=None,
                       use_pallas=None):
     """Blockwise sigmoid attention. qs: [N,H,M], ks: [L,H,M], vs: [L,H,D].
 
     key_mask: optional float/bool [L] marking real keys (for padded batches).
-    Keys are padded internally to a block multiple. ``use_pallas`` forces the
-    Pallas TPU kernel on/off (default: auto — on for TPU backends with large N).
+    Backward paths (blocked and Pallas) compute the sigmoid derivative from
+    the *masked* score, so key_mask must be binary 0/1 — fractional mask
+    values would get a slightly wrong gradient (m·σ·(1−m·σ) instead of
+    m·σ·(1−σ)). Keys are padded internally to a block multiple. ``use_pallas``
+    forces the Pallas TPU kernel on/off (default: auto — on for TPU backends
+    with large N). An explicitly passed ``block_size`` opts out of the dense
+    auto-dispatch (the caller is asking for bounded memory).
     """
     L = ks.shape[0]
+    N, H = qs.shape[0], qs.shape[1]
+    explicit_block = block_size is not None
+    if block_size is None:
+        block_size = 1024
     if use_pallas is None:
-        # Crossover measured on-chip, fwd+bwd, bf16, H=1 (BENCH_NOTES r3
-        # "sigmoid dispatch crossover" + model-level bench rows): below
-        # ~8192 every impl sits near the ~3 ms dispatch floor and XLA's
-        # fused dense chain is fastest (model-level: dense 8.2 ms vs flash
-        # 9.6 ms at N=4096) with trivial memory (≤268 MB scores); at 8192
-        # the Pallas kernels win 16% op-level, and from ~16k dense needs
-        # multi-GB [N, L, H] score tensors (OOM at 32768) while Pallas
-        # stays O(N·D) and scales to 98.7 Gpairs/s at 65536. Auto dispatch:
-        # TPU → dense under 8192, Pallas from 8192 up; non-TPU → blocked.
-        on_tpu = jax.default_backend() == "tpu"
-        # Pallas when EITHER side is large: the measured crossover only
-        # justifies dense for small-square shapes — a rectangular call with
-        # one big side (e.g. N=131072, L=4096 cross-attention) would
-        # materialize a multi-GB [N, L, H] tensor on the dense path
-        use_pallas = on_tpu and (L >= 8192 or qs.shape[0] >= 8192)
-        if on_tpu and not use_pallas:
+        impl = _auto_dispatch(N, L, H,
+                              on_tpu=jax.default_backend() == "tpu",
+                              explicit_block=explicit_block)
+        if impl == "dense":
             return sigmoid_attention_dense(qs, ks, vs, key_mask=key_mask)
+        use_pallas = impl == "pallas"
     if use_pallas:
         from difformer_tpu.kernels.pallas_sigmoid_attention import (
             sigmoid_attention_pallas,

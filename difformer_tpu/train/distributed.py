@@ -73,6 +73,11 @@ class DistributedTrainer:
         # halo-minimizing production layout for community graphs)
         if layout is None:
             layout = "balanced" if balance_edges else "contiguous"
+        elif layout not in ("contiguous", "balanced", "locality"):
+            raise ValueError(
+                f"unknown layout {layout!r}: expected 'contiguous', "
+                "'balanced', or 'locality'"
+            )
         balance_edges = layout != "contiguous"
         ell = None
         self._node_perm = None

@@ -101,10 +101,11 @@ class Config:
     jk_type: str = "max"            # gcnjk/gatjk aggregation: max|cat|lstm
     dcrnn_filters: int = 1          # DCRNN diffusion filter size K
     #                                 (spatial-temporal parse.py:103)
-    directed: bool = False          # skip symmetrize/self-loops prep
-    #                                 (reference main.py:72: user flag; the
-    #                                 prep is also skipped for ogbn-proteins
-    #                                 regardless)
+    directed: bool = False          # skip symmetrization only (to_undirected;
+    #                                 self-loop removal/re-addition always
+    #                                 runs, matching reference main.py:71-76;
+    #                                 symmetrization is also skipped for
+    #                                 ogbn-proteins regardless)
     print_prop: bool = False        # print predicted class proportions at
     #                                 display steps (main.py:149-151)
     spmm_first: bool = False        # GCN branch as (ÂX)Wv: gathers F+1-wide

@@ -218,3 +218,24 @@ def test_sigmoid_crossgraph_quirk_replica(rng):
     den = s.sum(1, keepdims=True) + 1e-9
     expect = np.einsum("aemh,emhd->amhd", s / den, v)
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_sigmoid_auto_dispatch_gates():
+    """ADVICE r3: dense auto-dispatch must be gated on total score bytes
+    (N·L·H), not N/L alone, and an explicit block_size opts out of dense."""
+    from difformer_tpu.ops.sigmoid_attention import _auto_dispatch
+
+    kw = dict(on_tpu=True, explicit_block=False)
+    # small square, H=1: dense (measured fastest, trivial memory)
+    assert _auto_dispatch(4096, 4096, 1, **kw) == "dense"
+    # same N/L but H=8: 537 MB f32 scores — outside the measured envelope
+    assert _auto_dispatch(4096, 4096, 8, **kw) == "pallas"
+    # either side large: pallas regardless of H
+    assert _auto_dispatch(8192, 4096, 1, **kw) == "pallas"
+    assert _auto_dispatch(4096, 8192, 1, **kw) == "pallas"
+    # explicit block_size = caller bounded memory: never dense
+    assert _auto_dispatch(
+        1024, 1024, 1, on_tpu=True, explicit_block=True) == "pallas"
+    # non-TPU: blocked XLA path everywhere
+    assert _auto_dispatch(65536, 65536, 8,
+                          on_tpu=False, explicit_block=False) == "blocked"

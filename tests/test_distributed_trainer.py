@@ -106,3 +106,22 @@ def test_distributed_trainer_checkpoint_resume(tmp_path):
                     jax.tree_util.tree_leaves(ref["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_distributed_trainer_rejects_unknown_layout():
+    """ADVICE r3: a typo'd layout string must raise, not silently fall back
+    to 'balanced'."""
+    import pytest
+
+    n, c = 160, 3
+    x, ei, y = random_graph(n, 700, 10, c, seed=21, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    train_mask = idx_to_mask(rand_train_test_idx(y, 0.5, 0.25, rng=0)["train"],
+                             n)
+    model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                      dropout=0.0, axis_name="graph")
+    init_model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                           dropout=0.0)
+    with pytest.raises(ValueError, match="unknown layout"):
+        DistributedTrainer(model, init_model, x, ei, y,
+                           train_mask=train_mask, layout="local")
