@@ -386,11 +386,21 @@ def run_graph_task(cfg: Config):
     return res
 
 
+def _tri_state(s):
+    """'auto' | bool-ish strings — for flags like spmm_first."""
+    s = s.lower()
+    if s == "auto":
+        return "auto"
+    return s in ("1", "true", "yes")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="difformer_tpu unified CLI")
     for f in dataclasses.fields(Config):
         arg = "--" + f.name
-        if f.type == "bool" or isinstance(f.default, bool):
+        if f.name == "spmm_first":
+            p.add_argument(arg, type=_tri_state, default=None)
+        elif f.type == "bool" or isinstance(f.default, bool):
             p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
                            default=None)
         elif f.default is None or f.type == "Optional[int]":

@@ -51,10 +51,15 @@ class DIFFormerConv(nn.Module):
     # ones column: Â(XW + 1bᵀ) = (ÂX)W + (Â1)bᵀ), so the per-edge gather
     # width drops from H·D to F+1 — an ~8× gather-byte cut at H=8, on the
     # op that is the measured step bottleneck (BENCH_NOTES roofline: H=8
-    # rows are gather-byte-bound). Off by default for exact reference
-    # operation order (difformer.py:130 applies gcn_conv to the value
-    # projections); results differ only by float reassociation.
-    spmm_first: bool = False
+    # rows are gather-byte-bound). False (library default) keeps exact
+    # reference operation order (difformer.py:130 applies gcn_conv to the
+    # value projections); True forces the rewrite; "auto" (the Config/CLI
+    # default) enables it when H·D ≥ 2·(F+1) — i.e. when the rewrite cuts
+    # gather bytes ≥2×, safely above the measured H=1 parity point and on
+    # for every measured win (BENCH_NOTES r3 "spmm_first": 2.9–4.0× at
+    # H=8). Results differ from reference order only by float
+    # reassociation.
+    spmm_first: object = False      # False | True | "auto"
 
     @nn.compact
     def __call__(
@@ -132,8 +137,14 @@ class DIFFormerConv(nn.Module):
         # width, and on the sharded paths the win doubles: the halo
         # all_to_all / all_gather ships F+1-wide feature rows instead of
         # H·D-wide value rows (8× less ICI wire at H=8)
+        spmm_first = self.spmm_first
+        if spmm_first == "auto":
+            # enable when the per-edge gather-byte cut is ≥2× (see the
+            # field comment); at H=1 with D=F the rewrite is measured
+            # parity-to-slightly-worse, so auto keeps reference order there
+            spmm_first = H * D >= 2 * (source_input.shape[-1] + 1)
         spmm_first = (
-            self.spmm_first and self.use_graph and self.use_weight
+            bool(spmm_first) and self.use_graph and self.use_weight
             and not output_attn
         )
 
@@ -263,7 +274,7 @@ class DIFFormer(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None   # e.g. 'bfloat16'; params stay f32
     remat: bool = False
-    spmm_first: bool = False        # (ÂX)Wv branch order — see DIFFormerConv
+    spmm_first: object = False      # False | True | "auto" — see DIFFormerConv
 
     def _conv(self, i):
         return DIFFormerConv(

@@ -108,10 +108,17 @@ class Config:
     #                                 ogbn-proteins regardless)
     print_prop: bool = False        # print predicted class proportions at
     #                                 display steps (main.py:149-151)
-    spmm_first: bool = False        # GCN branch as (ÂX)Wv: gathers F+1-wide
-    #                                 rows instead of H·D (big win for H>1;
-    #                                 float-reassociation-level deviation
-    #                                 from reference operation order)
+    spmm_first: object = "auto"     # GCN branch as (ÂX)Wv: gathers F+1-wide
+    #                                 rows instead of H·D. "auto" (default)
+    #                                 enables it when H·D ≥ 2·(F+1) — the
+    #                                 measured-win regime (2.9–4.0× at H=8,
+    #                                 BENCH_NOTES r3) — so a default CLI run
+    #                                 on a multi-head shape gets the rewrite
+    #                                 without hand-flags. Deviation from
+    #                                 reference operation order is float-
+    #                                 reassociation only (equivalence tested,
+    #                                 tests/test_models.py); pass False for
+    #                                 exact reference order
     layout: str = ""                # shard layout: '' (contiguous) |
     #                                 balanced | locality (community reorder
     #                                 + min-cut snap, parallel/partition)

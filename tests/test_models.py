@@ -215,3 +215,47 @@ def test_spmm_first_matches_reference_order(rng):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3,
                                                     atol=5e-4), g0, g1)
+
+
+def test_spmm_first_auto_policy(rng):
+    """spmm_first='auto' (the Config/CLI default) resolves per the measured
+    crossover H·D ≥ 2·(F+1): bit-identical to False at H=1 (reference
+    operation order preserved) and to True at H=8 (the measured-win regime
+    gets the rewrite without hand-flags — VERDICT r3 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.nn import DIFFormer
+
+    n, e, c = 96, 700, 5
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    xs = jnp.asarray(x)
+    sj, rj = jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32)
+
+    for h, expect_flag in ((1, False), (8, True)):
+        def build(sf):
+            return DIFFormer(hidden_channels=16, out_channels=c,
+                             num_layers=2, num_heads=h, dropout=0.0,
+                             spmm_first=sf)
+
+        m_auto, m_fixed = build("auto"), build(expect_flag)
+        params = m_auto.init(jax.random.PRNGKey(0), xs, sj, rj,
+                             train=False)["params"]
+        out_auto = m_auto.apply({"params": params}, xs, sj, rj, train=False)
+        out_fixed = m_fixed.apply({"params": params}, xs, sj, rj, train=False)
+        np.testing.assert_array_equal(np.asarray(out_auto),
+                                      np.asarray(out_fixed))
+
+
+def test_cli_spmm_first_tri_state():
+    """--spmm_first parses 'auto'/'true'/'false' (a plain-str parse would
+    turn 'false' into a truthy string)."""
+    from difformer_tpu.cli import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["--spmm_first", "auto"]).spmm_first == "auto"
+    assert p.parse_args(["--spmm_first", "false"]).spmm_first is False
+    assert p.parse_args(["--spmm_first", "true"]).spmm_first is True
+    assert p.parse_args([]).spmm_first is None
