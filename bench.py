@@ -85,14 +85,92 @@ N_DEF = 131072
 E_DEF = 4 * 1024 * 1024
 
 # --- roofline cost-model constants (this chip / v5e) -----------------------
-GATHER_BASE_NS = 3.7     # per random row fetch (measured, BENCH_NOTES
-GATHER_GBPS = 30e9       # "Gather cost model": t_row = 3.7ns + bytes/30GB/s)
+GATHER_BASE_NS = 3.7     # per random row fetch (frozen 2026-08-18 microbench,
+GATHER_GBPS = 30e9       # BENCH_NOTES "Gather cost model": t_row = 3.7 ns +
+#   bytes/30 GB/s). These frozen values are kept ONLY as the drift report —
+#   the chip shows up to 1.6x day-to-day variance on gather-bound programs,
+#   so every invocation re-measures the floor (calibrate_gather below,
+#   VERDICT r3 item 2) and pct_of_roofline is computed against the SAME-RUN
+#   constants in CALIB.
 HBM_GBPS = 819e9         # v5e peak HBM stream (dense-block floor)
 MXU_FLOPS = 197e12       # v5e bf16 peak
 SIGMOID_VPU_PAIRS = 90e9  # VPU sigmoid evals/s inside the flash kernel —
 #   derived from the measured 84.7 Gpairs/s VPU-bound forward (BENCH_NOTES
 #   "VPU-bound analysis": matmuls alone would run ~10x faster, so the
-#   per-pair cost is ≈ one sigmoid evaluation)
+#   per-pair cost is ≈ one sigmoid evaluation). Not self-calibrated (the
+#   sigmoid rows' variance is bf16-MXU-path ~2%, not the gather drift).
+
+# same-run gather calibration (filled by calibrate_gather; frozen fallback)
+CALIB = {"base_ns": GATHER_BASE_NS, "gbps": GATHER_GBPS,
+         "measured_now": False, "detail": None}
+
+
+def calibrate_gather(jax, *, n=131072, rows=59510, k=128, reps=4):
+    """Re-measure the random row-gather floor in THIS invocation.
+
+    Runs the dominant-ELL-bucket op (gather [rows, k] rows of x[n, d] +
+    weighted reduce — same shape as scripts/bench_gather_locality.py) at two
+    row widths (d=8 → 16 B and d=256 → 512 B bf16) and solves the two-point
+    linear model t_row = base + bytes/bw. A third width (d=64, the
+    production H=1 row) validates the fit. Updates CALIB in place; on any
+    failure the frozen constants stay and rows report
+    calibration_measured_now: false. ~30-60 s including compiles.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n, (rows, k)).astype(np.int32))
+
+    @jax.jit
+    def spmm(x, idx, w):
+        g = jnp.take(x, idx, axis=0)
+        return jnp.einsum("rk,rkd->rd", w, g)
+
+    def measure(d):
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32),
+                        jnp.bfloat16)
+        w = jnp.asarray(rng.uniform(size=(rows, k)).astype(np.float32),
+                        jnp.bfloat16)
+        out = spmm(x, idx, w)
+        float(jnp.sum(out.astype(jnp.float32)))   # sync (block_until_ready
+        best = float("inf")                       # is unreliable on axon)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = spmm(x, idx, w)
+            float(jnp.sum(out.astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best / (rows * k)          # seconds per gathered row
+
+    try:
+        t_narrow, t_wide, t_prod = measure(8), measure(256), measure(64)
+        bytes_n, bytes_w = 8 * 2, 256 * 2
+        slope = (t_wide - t_narrow) / (bytes_w - bytes_n)   # s per byte
+        base = t_narrow - slope * bytes_n
+        if slope <= 0 or base <= 0:
+            raise ValueError(
+                f"non-physical fit: base={base:.3e}s slope={slope:.3e}s/B")
+        predicted_prod = base + slope * 64 * 2
+        CALIB.update(
+            base_ns=base * 1e9, gbps=1.0 / slope, measured_now=True,
+            detail={
+                "base_ns": round(base * 1e9, 2),
+                "gbps": round(1.0 / slope / 1e9, 1),
+                "frozen_base_ns": GATHER_BASE_NS,
+                "frozen_gbps": round(GATHER_GBPS / 1e9, 1),
+                # drift of the production-width (128 B) row cost vs frozen
+                "drift_128B": round(
+                    (base + slope * 128)
+                    / (GATHER_BASE_NS * 1e-9 + 128 / GATHER_GBPS), 3),
+                "fit_check_128B": round(predicted_prod / t_prod, 3),
+            })
+        print(f"# gather calibration: base={CALIB['base_ns']:.2f} ns "
+              f"bw={CALIB['gbps'] / 1e9:.1f} GB/s "
+              f"drift_128B={CALIB['detail']['drift_128B']}x "
+              f"fit_check={CALIB['detail']['fit_check_128B']}",
+              file=sys.stderr, flush=True)
+    except Exception as err:
+        print(f"# gather calibration failed ({err}); using frozen constants",
+              file=sys.stderr, flush=True)
 
 
 def _real_edges(ell_graph):
@@ -114,8 +192,10 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
       * mxu — block matmul FLOPs plus the model's projection/attention/MLP
         matmuls (fwd + 2x for backward) at peak bf16 rate.
 
-    Interpretation: the gather constants were calibrated on UNIFORM-RANDOM
-    indices (scripts/bench_gather_locality.py). pct_of_roofline ≈ 100 ⇒ the
+    Interpretation: the gather constants are calibrated on UNIFORM-RANDOM
+    indices — re-measured in the same invocation via calibrate_gather (the
+    frozen 2026-08-18 numbers are only the drift report). pct_of_roofline
+    ≈ 100 ⇒ the
     row is gather-bound at that calibration (uniform H=1 validates at ~97%).
     pct > 100 ⇒ the row's gathers BEAT the uniform-random rate — hub-sorted
     residuals and wide (H=8) rows have locality/pipelining the calibration
@@ -156,7 +236,7 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
         res_edges = [e, e]
 
     row_bytes = width * dtype_bytes
-    t_row = GATHER_BASE_NS * 1e-9 + row_bytes / GATHER_GBPS
+    t_row = CALIB["base_ns"] * 1e-9 + row_bytes / CALIB["gbps"]
     t_gather = layers * sum(res_edges) * t_row
 
     # fwd blocks stream once in the forward, rev blocks once in the backward
@@ -223,6 +303,11 @@ def build_graph(n, e, f, seed=0, kind="uniform", comm=1024, intra=0.8):
 def _setup_jax():
     import jax
 
+    if os.environ.get("BENCH_CPU") == "1":
+        # smoke-test mode (the image's sitecustomize force-registers the
+        # axon TPU plugin; the env var JAX_PLATFORMS is ignored)
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compilation cache: big programs take minutes to compile
     # through the axon remote-compile tunnel; cached recompiles are seconds.
     cache_dir = os.environ.get(
@@ -236,9 +321,77 @@ def _setup_jax():
     return jax
 
 
+def trainer_probe(jax, *, model, ell, x, s_sorted, r_sorted, e, layers,
+                  heads, graph, bench_eps, epochs=None, epoch_block=10,
+                  dtype="bfloat16"):
+    """Product-path throughput: ``FullBatchTrainer.fit`` — the engine
+    ``cli.run_node_task`` drives — on the SAME graph/operator/model as the
+    bench row, with per-epoch eval and best-val tracking (the loop the
+    reference times, ``node classification/main.py:104-158``). Two
+    measurements (VERDICT r3 item 1):
+
+      * ``eval_every_epoch`` — eval_step=1, the reference's loop shape;
+      * ``eval_final_only``  — same machinery, eval only at the last epoch,
+        isolating the per-epoch eval-forward cost from trainer overhead.
+
+    Reported vs the bench step rate: ``vs_bench_step`` for each. The
+    eval-forward is irreducible product work (the reference does it too);
+    ``eval_final_only`` is the apples-to-apples trainer-overhead number.
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from difformer_tpu.data.graph import GraphData
+    from difformer_tpu.data.splits import rand_train_test_idx
+    from difformer_tpu.train import FullBatchTrainer
+
+    epochs = epochs or int(os.environ.get("BENCH_TRAINER_EPOCHS", 50))
+    n = x.shape[0]
+    # single-label targets (C=112 one-hot under the bce path) keep the
+    # train-step program shape of the bench row while staying inside the
+    # scanned path's device-acc eligibility
+    y = np.random.default_rng(2).integers(0, 112, size=n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    graph_data = GraphData.from_numpy(x, np.stack([s_sorted, r_sorted]))
+    trainer = FullBatchTrainer(
+        model, graph_data, y, lr=1e-2, weight_decay=0.0, loss="bce",
+        metric="acc", model_kwargs={"ell": ell} if ell is not None else None)
+
+    def timed_fit(eval_step, tag):
+        # warm block (compile) then the timed run; the block program is
+        # cached inside the trainer across fit calls
+        trainer.fit(split, epochs=epoch_block, runs=1, eval_step=eval_step,
+                    epoch_block=epoch_block)
+        t0 = time.perf_counter()
+        trainer.fit(split, epochs=epochs, runs=1, eval_step=eval_step,
+                    epoch_block=epoch_block)
+        dt = (time.perf_counter() - t0) / epochs
+        print(f"# [{graph} H={heads}] trainer/{tag}: {dt * 1e3:.1f} ms/epoch",
+              file=sys.stderr, flush=True)
+        return dt
+
+    t_eval1 = timed_fit(1, "eval-every-epoch")
+    t_evalN = timed_fit(10 ** 9, "eval-final-only")
+    eps1 = e * layers / t_eval1
+    epsN = e * layers / t_evalN
+    return {
+        "epochs": epochs, "epoch_block": epoch_block,
+        "eval_every_epoch": {
+            "epoch_ms": round(t_eval1 * 1e3, 2),
+            "edges_per_s": round(eps1, 1),
+            "vs_bench_step": round(eps1 / bench_eps, 3),
+        },
+        "eval_final_only": {
+            "epoch_ms": round(t_evalN * 1e3, 2),
+            "edges_per_s": round(epsN, 1),
+            "vs_bench_step": round(epsN / bench_eps, 3),
+        },
+        "eval_forward_ms": round((t_eval1 - t_evalN) * 1e3, 2),
+    }
+
+
 def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
                steps=8, dtype="bfloat16", use_graph=True, run_naive=False,
-               tile=256, seed=0, remat=False):
+               tile=256, seed=0, remat=False, with_trainer=False):
     """Measure one (graph kind, head count) operating point. Returns a dict
     row for the detail list. ``remat=True`` checkpoints the per-layer branch
     activations — needed when E*H*D activations exceed HBM (uniform H=8)."""
@@ -416,7 +569,7 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         step_ms=t_fast * 1e3,
         row_width=(F + 1) if spmm_first else None)
 
-    return {
+    row = {
         "graph": graph, "heads": heads, "impl": impl_label,
         "dense_coverage": round(coverage, 3),
         "edges_per_s": round(edges_per_s, 1),
@@ -426,7 +579,97 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
                         if naive_eps else None),
         "naive_edges_per_s": (round(naive_eps, 1) if naive_eps else None),
         "naive_measured_now": bool(run_naive),
+        "calibration_measured_now": CALIB["measured_now"],
         "roofline": roofline,
+    }
+    if with_trainer:
+        # product-path (FullBatchTrainer/cli engine) throughput on the same
+        # graph + operator + model — VERDICT r3 item 1
+        try:
+            row["trainer"] = trainer_probe(
+                jax, model=model, ell=ell, x=x, s_sorted=s_sorted,
+                r_sorted=r_sorted, e=e, layers=LAYERS, heads=heads,
+                graph=graph, bench_eps=edges_per_s, dtype=dtype)
+        except Exception as err:
+            print(f"# [{graph} H={heads}] trainer probe failed ({err})",
+                  file=sys.stderr, flush=True)
+            row["trainer"] = {"error": f"{type(err).__name__}: {err}"}
+    return row
+
+
+def run_minibatch_config(jax, *, n=N_DEF, e=E_DEF, dtype="bfloat16",
+                         batch_size=10000, epochs=None, seed=0):
+    """Trainer-level mini-batch row: the ogbn-proteins recipe
+    (``node classification/run.sh:37-39`` — batch 10000, 3 layers, h=64,
+    BCE) through the PRODUCT engine ``train/minibatch.MiniBatchTrainer`` on
+    the powerlaw (proteins-shaped) graph: per epoch a random node
+    permutation is cut into chunks, each trains on its induced subgraph
+    (native C++ extraction, host prep overlapped with device compute), eval
+    every 9 epochs (the preset's eval_step) over the full graph on device.
+    Throughput unit: nodes/s (every node is trained once per epoch); the
+    induced-subgraph edge count (measured host-side) gives edges/s trained.
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from difformer_tpu.data.splits import rand_train_test_idx
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.train.minibatch import MiniBatchTrainer
+
+    epochs = epochs or int(os.environ.get("BENCH_MINIBATCH_EPOCHS", 18))
+    F, C, LAYERS = 64, 112, 3
+    x, s_sorted, r_sorted, _, _ = build_graph(n, e, F, seed=seed,
+                                              kind="powerlaw")
+    y = np.random.default_rng(2).integers(0, C, size=n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+
+    model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
+                      num_heads=1, kernel="simple", dropout=0.0,
+                      compute_dtype=dtype or None)
+    trainer = MiniBatchTrainer(model, x, np.stack([s_sorted, r_sorted]), y,
+                               batch_size=batch_size, lr=1e-2,
+                               weight_decay=0.0, loss="bce", metric="acc")
+
+    # measured induced-subgraph edge count for one epoch's chunks (the
+    # edges actually trained; cross-chunk edges drop by design)
+    rng = np.random.default_rng(3)
+    idx = rng.permutation(n)
+    sub_edges = 0
+    from difformer_tpu import native
+    for i in range(-(-n // batch_size)):
+        chunk = idx[i * batch_size:(i + 1) * batch_size]
+        if native.available():
+            sub = native.induced_subgraph(s_sorted, r_sorted, chunk, n)
+        else:
+            from difformer_tpu.data.transforms import subgraph
+            sub, _ = subgraph(chunk, np.stack([s_sorted, r_sorted]), n)
+        sub_edges += sub.shape[1]
+
+    t0 = time.perf_counter()
+    trainer.fit(split, epochs=2, runs=1, eval_step=10 ** 9)   # compile warm
+    print(f"# [minibatch] warm 2 epochs {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    trainer.fit(split, epochs=epochs, runs=1, eval_step=9)
+    dt = (time.perf_counter() - t0) / epochs
+    print(f"# [minibatch] {dt * 1e3:.1f} ms/epoch "
+          f"({n / dt / 1e6:.2f} M nodes/s)", file=sys.stderr, flush=True)
+    return {
+        "graph": "powerlaw-minibatch", "heads": 1,
+        "impl": f"minibatch-{batch_size}",
+        "dense_coverage": None,
+        "edges_per_s": round(sub_edges * LAYERS / dt, 1),
+        "nodes_per_s": round(n / dt, 1),
+        "epoch_ms": round(dt * 1e3, 2),
+        "step_ms": None, "remat": False,
+        "sub_edges_per_epoch": int(sub_edges),
+        "epochs": epochs, "eval_step": 9,
+        "vs_baseline": None,
+        "naive_edges_per_s": None, "naive_measured_now": False,
+        "naive_note": ("reference minibatch loop is the same host-chunking "
+                       "structure; no on-chip naive comparator — nodes/s is "
+                       "the headline for this row"),
+        "calibration_measured_now": CALIB["measured_now"],
+        "roofline": None,
     }
 
 
@@ -611,6 +854,12 @@ def main():
           f"mode={'single' if single else 'sweep'} "
           f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
 
+    # same-run gather floor (VERDICT r3 item 2): pct_of_roofline compares
+    # against THIS invocation's measured constants, so drift can never
+    # masquerade as (or hide) a regression. BENCH_CALIBRATE=0 opts out.
+    if os.environ.get("BENCH_CALIBRATE", "1") == "1":
+        calibrate_gather(jax)
+
     if single:
         rows = [run_config(
             jax, graph=os.environ.get("BENCH_GRAPH", "clustered"),
@@ -621,16 +870,32 @@ def main():
     else:
         matrix = [("clustered", 1), ("powerlaw", 1), ("uniform", 1),
                   ("clustered", 8), ("powerlaw", 8), ("uniform", 8)]
+        # trainer-level (product path) probe on the headline shapes
+        # (clustered/powerlaw at both head counts — VERDICT r3 item 1);
+        # uniform is skipped by default to bound wall time (same machinery,
+        # slower rows). BENCH_TRAINER=0 disables, =all probes every row.
+        tr_mode = os.environ.get("BENCH_TRAINER", "1")
+        trainer_set = (set(matrix) if tr_mode == "all"
+                       else {("clustered", 1), ("powerlaw", 1),
+                             ("clustered", 8), ("powerlaw", 8)}
+                       if tr_mode == "1" else set())
         rows = []
         for g, h in matrix:
+            wt = (g, h) in trainer_set
             try:
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
-                                       **common))
+                                       with_trainer=wt, **common))
             except Exception as err:   # e.g. HBM OOM at E*H*D activations
                 print(f"# [{g} H={h}] failed ({err}); retrying with remat",
                       file=sys.stderr, flush=True)
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
-                                       remat=True, **common))
+                                       remat=True, with_trainer=wt, **common))
+        if os.environ.get("BENCH_MINIBATCH", "1") == "1":
+            try:
+                rows.append(run_minibatch_config(jax, n=n, e=e, dtype=dtype))
+            except Exception as err:
+                print(f"# [minibatch] failed ({err}); continuing without it",
+                      file=sys.stderr, flush=True)
         if os.environ.get("BENCH_SIGMOID", "1") == "1":
             # one row per N (default: the reference's sigmoid scale AND a
             # scale where its dense path OOMs — VERDICT r2 item 1), each in
@@ -691,6 +956,7 @@ def main():
             "n_nodes": n, "n_edges": e, "layers": 3, "hidden": 64,
             "dtype": dtype or "float32",
             "backend": jax.default_backend(),
+            "gather_calibration": CALIB["detail"],
             "rows": rows,
         },
     }), flush=True)

@@ -286,7 +286,8 @@ def run_node_task(cfg: Config):
                             logger=logger, eval_step=cfg.eval_step,
                             verbose=True, display_step=cfg.display_step,
                             print_prop=cfg.print_prop,
-                            save_best=cfg.save_model)
+                            save_best=cfg.save_model,
+                            epoch_block=cfg.epoch_block)
             if cfg.save_model and r[-1].get("params") is not None:
                 from difformer_tpu.train.checkpoint import save_checkpoint
 

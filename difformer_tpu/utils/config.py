@@ -119,6 +119,11 @@ class Config:
     #                                 reassociation only (equivalence tested,
     #                                 tests/test_models.py); pass False for
     #                                 exact reference order
+    epoch_block: int = 8            # full-batch trainer: epochs per jitted
+    #                                 lax.scan block (device-side eval; falls
+    #                                 back to the per-epoch loop when the run
+    #                                 needs per-epoch host access — see
+    #                                 FullBatchTrainer.fit). 0/1 = per-epoch
     layout: str = ""                # shard layout: '' (contiguous) |
     #                                 balanced | locality (community reorder
     #                                 + min-cut snap, parallel/partition)

@@ -67,3 +67,108 @@ def test_set_encoder_mode_use_graph_false():
     split = class_rand_splits(y, 10, valid_num=30, test_num=60, rng=2)
     res = trainer.fit(split, epochs=50, runs=1)
     assert res[0]["test"] > 0.5, res
+
+
+def _small_task(seed=5, n=140, c=3):
+    x, ei, y = random_graph(n, 650, 12, c, seed=seed, homophily=0.85)
+    g = GraphData.from_numpy(x, standard_preprocess(ei, n))
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    return g, y, split
+
+
+def test_scanned_fit_matches_per_epoch_loop():
+    """fit(epoch_block=N) — one jitted lax.scan per N epochs with on-device
+    eval — reproduces the per-epoch loop: same best-val selection, same
+    logged per-epoch metrics (incl. eval_step gating and the forced
+    final-epoch eval), with a non-divisor block length (trailing overshoot
+    discarded host-side)."""
+    g, y, split = _small_task()
+
+    def run(epoch_block):
+        m = DIFFormer(hidden_channels=16, out_channels=3, num_layers=2,
+                      dropout=0.0)
+        t = FullBatchTrainer(m, g, y, lr=1e-2, weight_decay=5e-4, seed=7)
+        logger = RunLogger(1)
+        res = t.fit(split, epochs=23, runs=1, eval_step=3, logger=logger,
+                    epoch_block=epoch_block)
+        return res[0], logger.results[0]
+
+    best_loop, log_loop = run(0)
+    best_scan, log_scan = run(8)
+    assert len(log_scan) == len(log_loop)
+    np.testing.assert_allclose(np.asarray(log_scan), np.asarray(log_loop),
+                               rtol=0, atol=1e-6)
+    assert best_scan["epoch"] == best_loop["epoch"]
+    for k in ("train", "valid", "test"):
+        np.testing.assert_allclose(best_scan[k], best_loop[k], atol=1e-6)
+
+
+def test_scanned_fit_bce_path_matches():
+    """bce loss with 1-D int labels (one-hot labels_train): device argmax
+    acc == host eval_acc on the original labels."""
+    g, y, split = _small_task(seed=9)
+
+    def run(epoch_block):
+        m = DIFFormer(hidden_channels=16, out_channels=3, num_layers=2,
+                      dropout=0.0)
+        t = FullBatchTrainer(m, g, y, lr=1e-2, weight_decay=0.0, loss="bce",
+                             seed=3)
+        return t.fit(split, epochs=12, runs=1, eval_step=1,
+                     epoch_block=epoch_block)[0]
+
+    a, b = run(0), run(4)
+    assert a["epoch"] == b["epoch"]
+    for k in ("train", "valid", "test"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6)
+
+
+def test_device_split_metrics_match_host():
+    """_device_split_metrics == METRICS host functions for the eligible
+    cases (acc on int labels, acc on one-hot, mse)."""
+    import jax.numpy as jnp
+
+    from difformer_tpu.utils.metrics import METRICS
+
+    rng = np.random.default_rng(0)
+    n, c, s = 64, 5, 3
+    out = rng.normal(size=(n, c)).astype(np.float32)
+    labels_int = rng.integers(0, c, n)
+    masks = rng.random((s, n)) < 0.5
+    masks[:, 0] = True  # no empty split
+
+    g, y, split = _small_task()
+    m = DIFFormer(hidden_channels=8, out_channels=c, num_layers=1,
+                  dropout=0.0)
+
+    t = FullBatchTrainer(m, g, y[:140], metric="acc")
+    got = np.asarray(t._device_split_metrics(
+        jnp.asarray(out), jnp.asarray(labels_int), jnp.asarray(masks)))
+    want = [METRICS["acc"](labels_int[mk], out[mk]) for mk in masks]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    onehot = np.eye(c, dtype=np.float32)[labels_int]
+    got_oh = np.asarray(t._device_split_metrics(
+        jnp.asarray(out), jnp.asarray(onehot), jnp.asarray(masks)))
+    np.testing.assert_allclose(got_oh, want, atol=1e-6)
+
+    t_mse = FullBatchTrainer(m, g, y[:140], metric="mse", loss="mse")
+    targets = rng.normal(size=(n, c)).astype(np.float32)
+    got_mse = np.asarray(t_mse._device_split_metrics(
+        jnp.asarray(out), jnp.asarray(targets), jnp.asarray(masks)))
+    want_mse = [METRICS["mse"](targets[mk], out[mk]) for mk in masks]
+    np.testing.assert_allclose(got_mse, want_mse, rtol=1e-5)
+
+
+def test_scanned_fit_fallback_conditions():
+    """Host-metric / per-epoch-host-access configs fall back to the loop."""
+    g, y, split = _small_task()
+    m = DIFFormer(hidden_channels=8, out_channels=3, num_layers=1,
+                  dropout=0.0)
+    t = FullBatchTrainer(m, g, y, metric="rocauc", loss="bce")
+    assert not t._scan_eligible(8, 1, False, False, "", 0, False)
+    t2 = FullBatchTrainer(m, g, y, metric="acc")
+    assert t2._scan_eligible(8, 1, False, False, "", 0, False)
+    assert not t2._scan_eligible(8, 1, True, False, "", 0, False)   # save_best
+    assert not t2._scan_eligible(8, 1, False, True, "", 0, False)   # print_prop
+    assert not t2._scan_eligible(8, 1, False, False, "d", 3, False)  # ckpt
+    assert not t2._scan_eligible(1, 1, False, False, "", 0, False)  # block<=1
