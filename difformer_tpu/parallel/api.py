@@ -42,6 +42,43 @@ def shard_graph_to_mesh(sg: ShardedGraph, mesh: Mesh, axis: str = GRAPH_AXIS):
     return jax.tree_util.tree_map(put, sg)
 
 
+def make_global_array_tree(tree, mesh: Mesh, spec=None, axis: str = GRAPH_AXIS):
+    """Build global ``jax.Array`` leaves from identical host (numpy) pytrees
+    present on every process — the multi-host construction path: each
+    process materializes only its **addressable** shards via
+    ``jax.make_array_from_callback`` (no full-array upload, no cross-process
+    data motion). ``spec=None`` shards every leaf's leading dim over
+    ``axis`` (the ShardedGraph layout, leading dim = n_shards); pass
+    ``P()`` for replicated trees (params / optimizer state / rng keys).
+    Works single-process too, where it reduces to a sharded device_put."""
+    import numpy as np
+
+    p = spec if spec is not None else P(axis)
+
+    def put(leaf):
+        arr = np.asarray(leaf)
+        sh = NamedSharding(mesh, p if arr.ndim else P())
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def fetch_to_host(a):
+    """Device→host for arrays that may span processes: fully-addressable
+    arrays copy directly; process-spanning sharded arrays are allgathered
+    (multihost_utils); fully-replicated ones read the local replica."""
+    import numpy as np
+
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    if getattr(a, "is_fully_replicated", False):
+        return np.asarray(a.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
     """Build ``fn(params, sharded_graph, rng=None, train=False) -> logits``
     running under shard_map. ``model`` must be constructed with

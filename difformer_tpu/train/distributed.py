@@ -134,6 +134,22 @@ class DistributedTrainer:
                 build_halo=True,   # boundary-only exchange with comm overlap
                 **perm_kw,
             )
+        # multi-process (multi-host) mode: the partition is computed
+        # identically on every process (deterministic host code on the same
+        # inputs); each process then materializes only its addressable
+        # shards of the global arrays (make_array_from_callback) — the real
+        # multi-host construction path, exercised cross-process by
+        # tests/test_multiprocess.py.
+        self._mp = jax.process_count() > 1
+        if self._mp:
+            if ell is not None:
+                raise NotImplementedError(
+                    "spmm='bsr' under multi-process: the BSR tables are "
+                    "closed over by the step (jit constants); use the halo "
+                    "path across processes")
+            from difformer_tpu.parallel.api import make_global_array_tree
+
+            self.sg = make_global_array_tree(self.sg, self.mesh)
         self.model = model
         self.init_model = init_model
         self.metric_fn = METRICS[metric]
@@ -148,6 +164,13 @@ class DistributedTrainer:
         self._x0 = np.asarray(node_feat, np.float32)
         self._ei0 = np.asarray(edge_index)
 
+    @staticmethod
+    def _to_host(tree):
+        """Host copies of (possibly process-spanning) state leaves."""
+        from difformer_tpu.parallel.api import fetch_to_host
+
+        return jax.tree_util.tree_map(fetch_to_host, tree)
+
     def init_state(self, run=0):
         variables = self.init_model.init(
             jax.random.PRNGKey(self.seed + run),
@@ -157,10 +180,20 @@ class DistributedTrainer:
             train=False,
         )
         params = variables["params"]
-        return params, self.tx.init(params)
+        opt_state = self.tx.init(params)
+        if self._mp:
+            from jax.sharding import PartitionSpec as P
+
+            from difformer_tpu.parallel.api import make_global_array_tree
+
+            params = make_global_array_tree(params, self.mesh, spec=P())
+            opt_state = make_global_array_tree(opt_state, self.mesh, spec=P())
+        return params, opt_state
 
     def evaluate(self, params, split_idx):
-        out = np.asarray(self._apply(params, self.sg))
+        from difformer_tpu.parallel.api import fetch_to_host
+
+        out = fetch_to_host(self._apply(params, self.sg))
         out = out.reshape(-1, out.shape[-1])
         if self._node_perm is not None:
             out = out[self._node_perm]      # padded layout -> original order
@@ -197,22 +230,39 @@ class DistributedTrainer:
                 mgr = CheckpointManager(f"{ckpt_dir}/run{run}")
                 last = mgr.latest_step() if resume else None
                 if last is not None:
-                    restored = mgr.restore(last, {
-                        "params": params, "opt_state": opt_state, "rng": rng,
+                    template = {
+                        "params": self._to_host(params),
+                        "opt_state": self._to_host(opt_state),
+                        "rng": np.asarray(rng),
                         "best_valid": np.array(0.0, np.float32),
-                    })
+                    }
+                    restored = mgr.restore(last, template)
                     # back to host arrays: restored leaves are committed to
                     # one device, which conflicts with the mesh placement
                     # the sharded step expects; numpy leaves re-place freely
                     params, opt_state, rng = jax.tree_util.tree_map(
                         np.asarray, (restored["params"],
                                      restored["opt_state"], restored["rng"]))
+                    if self._mp:
+                        from jax.sharding import PartitionSpec as P
+
+                        from difformer_tpu.parallel.api import (
+                            make_global_array_tree,
+                        )
+
+                        params = make_global_array_tree(
+                            params, self.mesh, spec=P())
+                        opt_state = make_global_array_tree(
+                            opt_state, self.mesh, spec=P())
                     best["valid"] = float(restored["best_valid"])
                     start_epoch = last + 1
             for epoch in range(start_epoch, epochs):
                 rng, sk = jax.random.split(rng)
+                # host key: multiprocess jit accepts numpy args as
+                # replicated-by-assumption; a single-device committed key
+                # array would conflict with the mesh placement
                 params, opt_state, loss = self._step(
-                    params, opt_state, self.sg, sk
+                    params, opt_state, self.sg, np.asarray(sk)
                 )
                 if epoch % eval_step == 0 or epoch == epochs - 1:
                     res = self.evaluate(params, split_idx)
@@ -226,13 +276,16 @@ class DistributedTrainer:
                         print(f"run {run} epoch {epoch}: loss "
                               f"{float(loss):.4f} {res}")
                 if mgr is not None and (epoch + 1) % checkpoint_every == 0:
-                    mgr.save(epoch, {
-                        "params": jax.tree_util.tree_map(np.asarray, params),
-                        "opt_state": jax.tree_util.tree_map(
-                            np.asarray, opt_state),
+                    payload = {
+                        "params": self._to_host(params),
+                        "opt_state": self._to_host(opt_state),
                         "rng": np.asarray(rng),
                         "best_valid": np.array(best["valid"], np.float32),
-                    })
+                    }
+                    # orbax's CheckpointManager is multihost-aware: every
+                    # process calls save (it barriers internally and the
+                    # primary writes replicated numpy leaves once)
+                    mgr.save(epoch, payload)
             if mgr is not None:
                 mgr.close()
             summaries.append(best)
