@@ -896,6 +896,24 @@ def main():
             except Exception as err:
                 print(f"# [minibatch] failed ({err}); continuing without it",
                       file=sys.stderr, flush=True)
+        if os.environ.get("BENCH_GRAPH_LEVEL", "1") == "1":
+            # particle-track rows with the node-track honesty machinery
+            # (VERDICT r3 item 6): reference-structure naive + roofline,
+            # simple AND v2-sigmoid kernels
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import bench_graph_level
+
+            gl_batch = int(os.environ.get("BENCH_GL_BATCH", 1024))
+            for kern in ("simple", "sigmoid"):
+                try:
+                    rows.append(bench_graph_level.run_config(
+                        jax, batch=gl_batch, steps=steps, kernel=kern,
+                        dtype=dtype, calib=CALIB))
+                except Exception as err:
+                    print(f"# [graph-level {kern}] failed ({err}); "
+                          f"continuing without it", file=sys.stderr,
+                          flush=True)
         if os.environ.get("BENCH_SIGMOID", "1") == "1":
             # one row per N (default: the reference's sigmoid scale AND a
             # scale where its dense path OOMs — VERDICT r2 item 1), each in
