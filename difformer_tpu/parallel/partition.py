@@ -402,3 +402,45 @@ def _build_halo_plan(ei, per_shard, senders, receivers, edge_mask,
         bnd_senders=bnd_s, bnd_receivers=bnd_r, bnd_value=bnd_v,
         halo_width=B,
     )
+
+
+def shard_balance_stats(sg: ShardedGraph):
+    """Per-shard load/padding skew of a partition (VERDICT r3 item 7).
+
+    Under shard_map every shard executes the SAME padded shapes, so
+    imbalance does not show up as shard-vs-shard time skew — it shows up as
+    **padding overhead vs the single-chip run**: the common edge bucket
+    E_loc is the max over shards, and node blocks are padded to N_loc.
+
+    Returns a dict:
+      * ``edges_per_shard`` — real (non-padding) edges per shard
+      * ``edge_skew``       — max/mean of real edges (load imbalance)
+      * ``edge_pad_factor`` — S*E_loc / total real edges (compute inflation
+        the padded layout pays vs a perfectly balanced, unpadded split)
+      * ``nodes_per_shard`` / ``node_skew`` / ``node_pad_factor`` — same
+        for node blocks
+      * ``halo_rows_per_shard`` / ``halo_pad_factor`` — real boundary rows
+        each shard ships vs its padded send buffer (when a halo plan
+        exists)
+    """
+    em = np.asarray(sg.edge_mask)
+    nm = np.asarray(sg.node_mask)
+    S = em.shape[0]
+    e_real = em.sum(axis=1).astype(np.int64)
+    n_real = nm.sum(axis=1).astype(np.int64)
+    out = {
+        "edges_per_shard": e_real.tolist(),
+        "edge_skew": float(e_real.max() / max(e_real.mean(), 1.0)),
+        "edge_pad_factor": float(S * em.shape[1] / max(e_real.sum(), 1)),
+        "nodes_per_shard": n_real.tolist(),
+        "node_skew": float(n_real.max() / max(n_real.mean(), 1.0)),
+        "node_pad_factor": float(S * nm.shape[1] / max(n_real.sum(), 1)),
+    }
+    if sg.send_mask is not None:
+        sm = np.asarray(sg.send_mask)
+        rows = sm.reshape(S, -1).sum(axis=1).astype(np.int64)
+        slots = int(np.prod(sm.shape[1:]))
+        out["halo_rows_per_shard"] = rows.tolist()
+        out["halo_pad_factor"] = float(
+            S * slots / max(rows.sum(), 1)) if rows.sum() else None
+    return out

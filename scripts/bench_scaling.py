@@ -54,6 +54,10 @@ def main():
                         "number)")
     p.add_argument("--ici-gbps", type=float, default=90.0,
                    help="per-link ICI bandwidth GB/s (v5p ~90/link)")
+    p.add_argument("--coll-latency-us", type=float, default=5.0,
+                   help="per-collective launch/latency floor (µs); ~1-10 µs "
+                        "on ICI depending on topology — swept into the "
+                        "worst-case forecast")
     p.add_argument("--json", default="", help="write rows to this path")
     args = p.parse_args()
 
@@ -164,17 +168,54 @@ def main():
         # real scaling; this does): compute scales as t1/S, comm = exact
         # per-chip wire bytes over ICI. fwd + bwd each ship the halo (the
         # backward reverses the exchange), psum payload is N-independent.
+        #
+        # Round 4 (VERDICT r3 item 7): the forecast carries an IMBALANCE
+        # term — under shard_map every shard runs the same padded shapes,
+        # so skew materializes as padding overhead: the edge-dominated
+        # compute inflates by edge_pad_factor (S·E_loc / ΣE_real) — plus a
+        # per-collective latency floor, and reports best / expected / worst
+        # instead of one number:
+        #   best     — perfectly balanced, wire fully overlapped, no
+        #              latency floors (the old headline);
+        #   expected — padded (imbalanced) compute, wire overlapped with
+        #              compute, latency floors paid;
+        #   worst    — padded compute with the larger of edge/node factors,
+        #              no overlap, latency floors paid.
+        from difformer_tpu.parallel.partition import shard_balance_stats
+
+        bal = shard_balance_stats(sg)
         t1_ms = args.t1_ms or (1e3 * args.e * args.layers / results[shards[0]])
         t_comp = t1_ms / s
+        edge_f = bal["edge_pad_factor"]
+        worst_f = max(edge_f, bal["node_pad_factor"])
         wire = (comm.get("halo_wire", 0) + comm["attn_psum"]) / max(s, 1)
-        t_comm = 1e3 * args.layers * 2 * wire / (args.ici_gbps * 1e9)
+        t_wire = 1e3 * args.layers * 2 * wire / (args.ici_gbps * 1e9)
+        # collectives per step: per layer fwd {halo a2a, 2 attn psums} and
+        # the mirrored transposes in bwd, plus the 2 loss psums
+        n_coll = args.layers * 2 * 3 + 2
+        t_lat = n_coll * args.coll_latency_us * 1e-3 if s > 1 else 0.0
+        eff = lambda t_step: t_comp / t_step if t_step else 1.0
+        t_best = max(t_comp, t_wire)
+        t_exp = max(t_comp * edge_f, t_wire) + t_lat
+        t_worst = t_comp * worst_f + t_wire + t_lat
+        row["balance"] = bal
         row["forecast"] = {
             "t1_ms": round(t1_ms, 2),
             "t_compute_ms": round(t_comp, 3),
-            "t_ici_ms": round(t_comm, 3),
-            "efficiency_no_overlap": round(t_comp / (t_comp + t_comm), 4),
-            "efficiency_overlap": round(t_comp / max(t_comp, t_comm), 4),
+            "t_ici_ms": round(t_wire, 3),
+            "t_latency_ms": round(t_lat, 4),
+            "n_collectives": n_coll,
+            "edge_pad_factor": round(edge_f, 4),
+            "node_pad_factor": round(bal["node_pad_factor"], 4),
+            "efficiency_best": round(eff(t_best), 4),
+            "efficiency_expected": round(eff(t_exp), 4),
+            "efficiency_worst": round(eff(t_worst), 4),
+            # legacy fields (round-3 schema) for cross-round comparison
+            "efficiency_no_overlap": round(
+                t_comp / (t_comp + t_wire), 4),
+            "efficiency_overlap": round(t_comp / max(t_comp, t_wire), 4),
             "ici_gbps": args.ici_gbps,
+            "coll_latency_us": args.coll_latency_us,
         }
         rows.append(row)
         print(f"shards={s:3d}  {dt * 1e3:8.1f} ms/step  "
@@ -182,8 +223,11 @@ def main():
               f"efficiency={eps / base * 100:5.1f}%  "
               f"halo/allgather="
               f"{comm.get('halo_wire', 0) / max(comm['allgather'], 1):.3f}  "
-              f"ici-forecast={row['forecast']['efficiency_no_overlap'] * 100:.1f}%"
-              f"/{row['forecast']['efficiency_overlap'] * 100:.1f}% (ov)",
+              f"ici-forecast best/exp/worst="
+              f"{row['forecast']['efficiency_best'] * 100:.1f}%/"
+              f"{row['forecast']['efficiency_expected'] * 100:.1f}%/"
+              f"{row['forecast']['efficiency_worst'] * 100:.1f}%  "
+              f"edge-pad={row['forecast']['edge_pad_factor']:.3f}",
               flush=True)
 
     if args.json:

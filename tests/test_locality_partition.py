@@ -154,3 +154,38 @@ def test_label_propagation_degenerate_graphs():
         except RuntimeError:
             continue  # native lib absent in this environment
         assert np.unique(lab_n).shape[0] == 5
+
+
+def test_shard_balance_stats_gate_skew():
+    """VERDICT r3 item 7 regression gate: on a heavy-tailed (powerlaw)
+    graph the production layouts (balanced / locality) keep the per-shard
+    edge padding inflation bounded — the term the ICI forecast now charges
+    compute with. The contiguous layout's inflation on the same graph is
+    strictly worse (that is why the layouts exist)."""
+    from difformer_tpu.parallel.partition import (
+        edge_balanced_layout,
+        shard_balance_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    n, e = 4096, 32768
+    w = rng.pareto(2.0, n) + 1.0
+    p = w / w.sum()
+    ei = np.stack([rng.choice(n, size=e, p=p), rng.choice(n, size=e, p=p)])
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+
+    # what each layout guarantees (and the forecast charges for):
+    #  * edge_balanced_layout cuts at equal cumulative receiver degree —
+    #    near-perfect edge balance by construction;
+    #  * locality_layout trades balance (within its balance_tol=0.15) for
+    #    halo-byte reduction — its padding inflation must stay bounded by
+    #    roughly 1 + tol (+ bucket rounding), NOT drift arbitrarily.
+    for s in (4, 8):
+        for make, bound in ((edge_balanced_layout, 1.10),
+                            (locality_layout, 1.35)):
+            perm, n_loc = make(ei, n, s)
+            sg = partition_graph(x, ei, s, build_halo=False,
+                                 node_perm=perm, nodes_per_shard=n_loc)
+            st = shard_balance_stats(sg)
+            assert st["edge_pad_factor"] <= bound, (s, make.__name__, st)
+            assert st["edge_skew"] <= bound, (s, make.__name__, st)
