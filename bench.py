@@ -673,17 +673,21 @@ def run_minibatch_config(jax, *, n=N_DEF, e=E_DEF, dtype="bfloat16",
     }
 
 
-def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
-                       seed=0):
-    """DIFFormer-a operating point: full train step of the 3-layer sigmoid
-    (O(N²)) model at the reference's sigmoid scale (it only ever runs the
-    sigmoid kernel on graphs ≤ ~20k nodes — chameleon/squirrel/cora,
-    ``node classification/run.sh:47-77``). The production path is the Pallas
-    flash kernel (``kernels/pallas_sigmoid_attention``); the naive baseline
+def run_sigmoid_config(jax, *, n=4096, heads=1, layers=3, steps=8,
+                       dtype="bfloat16", seed=0):
+    """DIFFormer-a operating point: full train step of the sigmoid (O(N²))
+    model — graph branch ON — at the reference's sigmoid scale (it only
+    ever runs the sigmoid kernel on graphs ≤ ~20k nodes — chameleon/
+    squirrel/cora, ``node classification/run.sh:47-77``). The sweep includes
+    the model AS THE REFERENCE RUNS IT (VERDICT r3 item 4): the cora-a
+    shape — 8 layers, h=64, --use_graph (``run.sh:9-11``) — at N ∈
+    {4096, 32768}, plus an H=4 row confirming the Pallas head grid scales.
+    The production path is the auto dispatch (dense under the measured
+    crossover, Pallas flash fwd+bwd kernels above it); the naive baseline
     is the reference's structure — materialize the [N, L, H] score tensor
     (``difformer.py:45-56``, here ``ops.sigmoid_attention_dense``) with
-    unsorted-scatter gcn_conv — measured inline on the same graph (cheap at
-    this N). Row metric: pairs/s (N²·H·layers per step) plus edges/s for
+    unsorted-scatter gcn_conv — measured inline on the same graph where it
+    fits. Row metric: pairs/s (N²·H·layers per step) plus edges/s for
     table consistency."""
     import jax.numpy as jnp
     import optax
@@ -693,7 +697,7 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     from difformer_tpu.ops.sigmoid_attention import sigmoid_attention_dense
     from difformer_tpu.train.optim import torch_adam
 
-    F, C, LAYERS = 64, 112, 3
+    F, C, LAYERS = 64, 112, layers
     e = 16 * n
     x, s_sorted, r_sorted, s_uns, r_uns = build_graph(n, e, F, seed=seed,
                                                       kind="uniform")
@@ -763,7 +767,8 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     # flash row then reports vs_baseline null with the reason.
     t_naive = None
     naive_note = None
-    if n <= 16384:
+    # the dense [N, N, H] f32 score tensor + its backward cotangent must fit
+    if n <= 16384 and n * n * heads * 4 <= 2 * 2 ** 30:
         saved = dif_mod.sigmoid_attention
         dif_mod.sigmoid_attention = (
             lambda q, k, v, **kw: sigmoid_attention_dense(
@@ -802,8 +807,11 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, steps=8, dtype="bfloat16",
     # (ops/sigmoid_attention auto: dense < 8192, Pallas >= 8192), so small-N
     # rows compare dense-on-sorted vs dense-on-unsorted (≈1.0 by design)
     impl_label = "flash-sigmoid" if n >= 8192 else "auto-dense-sigmoid"
+    name = (f"sigmoid-{n}" + (f"-L{layers}" if layers != 3 else "")
+            + (f"-H{heads}" if heads != 1 else ""))
     return {
-        "graph": f"sigmoid-{n}", "heads": heads, "impl": impl_label,
+        "graph": name, "heads": heads, "layers": layers,
+        "impl": impl_label,
         "dense_coverage": None,
         "edges_per_s": round(e * LAYERS / t_fast, 1),
         "pairs_per_s": round(pairs_per_s, 1),
@@ -842,6 +850,8 @@ def main():
         # child mode for the bounded-subprocess sigmoid row (see below)
         row = run_sigmoid_config(
             jax, n=int(os.environ.get("BENCH_SIGMOID_N", 4096)),
+            layers=int(os.environ.get("BENCH_SIGMOID_LAYERS", 3)),
+            heads=int(os.environ.get("BENCH_SIGMOID_HEADS", 1)),
             steps=steps, dtype=dtype)
         print(json.dumps(row), flush=True)
         return 0
@@ -924,11 +934,24 @@ def main():
             import subprocess
 
             budget = float(os.environ.get("BENCH_SIGMOID_TIMEOUT", 600))
-            ns_sig = [int(v) for v in os.environ.get(
-                "BENCH_SIGMOID_NS", "4096,8192,32768").split(",") if v]
-            for n_sig in ns_sig:
+            # configs as N[:layers[:heads]] — defaults: the 3-layer op-scale
+            # points, the cora-a model shape (8 layers, run.sh:9-11) at the
+            # reference scale AND where the reference OOMs, and an H=4 row
+            # for the Pallas head grid (VERDICT r3 item 4)
+            cfg_str = os.environ.get(
+                "BENCH_SIGMOID_NS",
+                "4096,8192,32768,4096:8,32768:8,8192:3:4")
+            sig_cfgs = []
+            for tok in cfg_str.split(","):
+                if not tok:
+                    continue
+                parts = [int(v) for v in tok.split(":")]
+                sig_cfgs.append((parts + [3, 1])[:3])
+            for n_sig, l_sig, h_sig in sig_cfgs:
                 env = dict(os.environ, BENCH_SIGMOID_ONLY="1",
-                           BENCH_SIGMOID_N=str(n_sig))
+                           BENCH_SIGMOID_N=str(n_sig),
+                           BENCH_SIGMOID_LAYERS=str(l_sig),
+                           BENCH_SIGMOID_HEADS=str(h_sig))
                 try:
                     res = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
