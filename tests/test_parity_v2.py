@@ -97,3 +97,32 @@ def test_v2_forward_parity(rng):
             out_pad[b, :n], out_ref[off:off + n], rtol=2e-3, atol=2e-4
         )
         off += n
+
+
+def test_v2_sorted_scatter_path_matches(rng):
+    """indices_are_sorted=True (unlocked by pad_graph_batch's tail padding
+    + center-major kNN edges) is numerically identical to the default
+    scatter path."""
+    from difformer_tpu.data.transforms import knn_graph
+
+    xs, eis = [], []
+    for n in (9, 14, 11):
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        xs.append(np.concatenate(
+            [rng.normal(size=(n, 5)).astype(np.float32), pos], axis=1))
+        eis.append(knn_graph(pos, 4, include_self=True))
+    batch = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
+    assert batch.edges_sorted
+
+    model = DIFFormerV2(hidden_channels=16, out_channels=4, num_layers=2,
+                        dropout=0.0)
+    args = (jnp.asarray(batch.node_feat), jnp.asarray(batch.node_mask),
+            jnp.asarray(batch.n_nodes), jnp.asarray(batch.senders),
+            jnp.asarray(batch.receivers), None,
+            jnp.asarray(batch.edge_mask))
+    params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
+    out_u = model.apply({"params": params}, *args, train=False)
+    out_s = model.apply({"params": params}, *args, train=False,
+                        indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               rtol=1e-6, atol=1e-6)
