@@ -29,9 +29,19 @@ from difformer_tpu.utils.metrics import METRICS
 
 
 class MiniBatchTrainer:
+    """``use_scan=True`` (default) runs each epoch as ONE jitted
+    ``lax.scan`` over the node chunks with the feature/label matrices
+    device-resident: the host ships only the chunk index vectors and the
+    induced-subgraph edge lists (~4 MB/epoch at proteins scale instead of
+    ~140 MB of re-gathered feature rows), and pays one dispatch per epoch
+    instead of one per chunk. Semantics identical to the per-chunk loop
+    (same rng stream, same induced subgraphs — parity-tested);
+    ``use_scan=False`` keeps the loop for step-level debugging."""
+
     def __init__(self, model, node_feat, edge_index, labels, *,
                  batch_size=10000, lr=1e-2, weight_decay=0.0, loss="nll",
-                 metric="acc", seed=123, edge_bucket_growth=1.3):
+                 metric="acc", seed=123, edge_bucket_growth=1.3,
+                 use_scan=True):
         self.model = model
         self.x = np.asarray(node_feat, np.float32)
         self.ei = np.asarray(edge_index)
@@ -39,6 +49,7 @@ class MiniBatchTrainer:
         self.batch_size = min(batch_size, self.n)
         self.loss_fn = LOSSES[loss]
         self.loss_name = loss
+        self.metric = metric
         self.metric_fn = METRICS[metric]
         self.tx = torch_adam(lr, weight_decay)
         self.seed = seed
@@ -59,8 +70,11 @@ class MiniBatchTrainer:
                 if labels.ndim > 1 else labels
             ).astype(np.int32)
 
+        self.use_scan = use_scan
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._fwd = jax.jit(self._fwd_impl)
+        self._scan_jit = None
+        self._xd = None       # device-resident features/labels (scan mode)
 
     def init_state(self, run=0):
         rng = jax.random.PRNGKey(self.seed + run)
@@ -93,10 +107,13 @@ class MiniBatchTrainer:
             {"params": params}, x, s, r, None, edge_mask=em, train=False,
         )
 
-    def _epoch(self, params, opt_state, rng_np, rng_key, e_bucket):
-        idx = rng_np.permutation(self.n)
+    def _host_chunks(self, idx, e_bucket):
+        """Chunk plan for one epoch: padded chunk indices, relabeled
+        induced-subgraph edge lists, edge/label masks (all host numpy)."""
         n_chunks = -(-self.n // self.batch_size)
-        losses = []
+        chunks, subs, ems, lmasks = [], [], [], []
+        from difformer_tpu import native
+
         for i in range(n_chunks):
             chunk = idx[i * self.batch_size:(i + 1) * self.batch_size]
             real = chunk.shape[0]
@@ -104,8 +121,6 @@ class MiniBatchTrainer:
                 chunk = np.concatenate(
                     [chunk, np.zeros(self.batch_size - real, np.int64)]
                 )
-            from difformer_tpu import native
-
             if native.available():
                 # C++ fast path: mask + relabel in one O(E) pass
                 sub = native.induced_subgraph(
@@ -120,6 +135,22 @@ class MiniBatchTrainer:
             sub, _, em = pad_edges(sub, None, e_bucket)
             lmask = np.zeros(self.batch_size, bool)
             lmask[:real] = True
+            chunks.append(chunk)
+            subs.append(sub)
+            ems.append(em)
+            lmasks.append(lmask)
+        return (np.stack(chunks).astype(np.int32),
+                np.stack(subs).astype(np.int32), np.stack(ems),
+                np.stack(lmasks))
+
+    def _epoch(self, params, opt_state, rng_np, rng_key, e_bucket):
+        idx = rng_np.permutation(self.n)
+        if self.use_scan:
+            return self._epoch_scan(params, opt_state, idx, rng_key,
+                                    e_bucket)
+        chunks, subs, ems, lmasks = self._host_chunks(idx, e_bucket)
+        losses = []
+        for chunk, sub, em, lmask in zip(chunks, subs, ems, lmasks):
             rng_key, sk = jax.random.split(rng_key)
             params, opt_state, l = self._step(
                 params, opt_state,
@@ -138,12 +169,73 @@ class MiniBatchTrainer:
         total = float(jnp.stack(losses).mean())
         return params, opt_state, total, rng_key
 
+    def _epoch_scan(self, params, opt_state, idx, rng_key, e_bucket,
+                    plan=None):
+        chunks, subs, ems, lmasks = (plan if plan is not None
+                                     else self._host_chunks(idx, e_bucket))
+        if self._xd is None:
+            self._xd = jnp.asarray(self.x)
+            self._yd = jnp.asarray(self.labels_train)
+        if self._scan_jit is None:
+            def scan_epoch(params, opt_state, x_full, y_full, chunks, subs,
+                           ems, lmasks, rng):
+                def body(carry, inp):
+                    params, opt_state, rng = carry
+                    chunk, sub, em, lmask = inp
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, l = self._step_impl(
+                        params, opt_state,
+                        jnp.take(x_full, chunk, axis=0),
+                        sub[0], sub[1], em,
+                        jnp.take(y_full, chunk, axis=0),
+                        lmask, sk)
+                    return (params, opt_state, rng), l
+
+                (params, opt_state, rng), ls = jax.lax.scan(
+                    body, (params, opt_state, rng),
+                    (chunks, subs, ems, lmasks))
+                return params, opt_state, jnp.mean(ls), rng
+
+            self._scan_jit = jax.jit(scan_epoch, donate_argnums=(0, 1))
+        params, opt_state, total, rng_key = self._scan_jit(
+            params, opt_state, self._xd, self._yd, jnp.asarray(chunks),
+            jnp.asarray(subs), jnp.asarray(ems), jnp.asarray(lmasks),
+            rng_key)
+        return params, opt_state, float(total), rng_key
+
     def evaluate(self, params, split_idx):
         """Full-graph eval in node chunks with the FULL edge set per chunk
         (receivers restricted to the chunk — exact full-graph conv output
         requires global attention aggregates; for eval we run the full graph
-        in one pass when it fits, else fall back to chunked forward)."""
-        out = np.asarray(self._full_forward(params))
+        in one pass when it fits, else fall back to chunked forward).
+
+        For single-label 'acc' the metric is computed ON DEVICE and only
+        [S] scalars cross to host — fetching the full [N, C] logits costs
+        seconds at proteins scale through a remote-TPU tunnel. Host-side
+        metrics (rocauc/f1) keep the logits fetch; those return
+        ``(res, out)``, the device path returns ``(res, None)``."""
+        out_dev = self._full_forward(params)
+        le = self.labels_eval
+        if self.metric == "acc" and (le.ndim == 1 or le.shape[-1] == 1):
+            if not hasattr(self, "_metric_jit"):
+                self._y_int = jnp.asarray(
+                    le.reshape(-1).astype(np.int32))
+
+                @jax.jit
+                def m(out, labels, masks):
+                    val = (jnp.argmax(out, -1) == labels).astype(jnp.float32)
+                    mm = masks.astype(jnp.float32)
+                    return (mm @ val) / jnp.maximum(mm.sum(axis=1), 1.0)
+
+                self._metric_jit = m
+            names = list(split_idx.keys())
+            masks = np.zeros((len(names), self.n), bool)
+            for i, name in enumerate(names):
+                masks[i, np.asarray(split_idx[name])] = True
+            vals = np.asarray(self._metric_jit(out_dev, self._y_int,
+                                               jnp.asarray(masks)))
+            return dict(zip(names, map(float, vals))), None
+        out = np.asarray(out_dev)
         res = {}
         for name, idx in split_idx.items():
             idx = np.asarray(idx)
@@ -184,10 +276,34 @@ class MiniBatchTrainer:
             # stored device reference would be a deleted buffer
             best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1,
                     "params": jax.tree_util.tree_map(np.asarray, params)}
+            fut = None
+            ex = None
+            if self.use_scan:
+                # one-epoch-ahead chunk-plan prefetch: the host's induced-
+                # subgraph extraction + padding (~180 ms/epoch at proteins
+                # scale) runs on a worker thread while the device executes
+                # the current epoch's scan (the C++ extractor and numpy
+                # release the GIL). Permutations are drawn sequentially, so
+                # the rng_np stream matches the loop path exactly.
+                from concurrent.futures import ThreadPoolExecutor
+
+                ex = ThreadPoolExecutor(1)
+                fut = ex.submit(self._host_chunks, rng_np.permutation(self.n),
+                                max_chunk_edges)
             for epoch in range(epochs):
-                params, opt_state, loss, rng_key = self._epoch(
-                    params, opt_state, rng_np, rng_key, max_chunk_edges
-                )
+                if self.use_scan:
+                    plan = fut.result()
+                    if epoch + 1 < epochs:
+                        fut = ex.submit(self._host_chunks,
+                                        rng_np.permutation(self.n),
+                                        max_chunk_edges)
+                    params, opt_state, loss, rng_key = self._epoch_scan(
+                        params, opt_state, None, rng_key, max_chunk_edges,
+                        plan=plan)
+                else:
+                    params, opt_state, loss, rng_key = self._epoch(
+                        params, opt_state, rng_np, rng_key, max_chunk_edges
+                    )
                 if epoch % eval_step == 0 or epoch == epochs - 1:
                     res, _ = self.evaluate(params, split_idx)
                     if logger is not None:
@@ -201,6 +317,8 @@ class MiniBatchTrainer:
                     if verbose:
                         print(f"run {run} epoch {epoch}: loss {loss:.4f} "
                               f"{res}")
+            if ex is not None:
+                ex.shutdown(wait=False)
             summaries.append(best)
         return summaries
 

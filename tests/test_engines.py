@@ -34,3 +34,25 @@ def test_graph_level_trainer_learns():
     res = tr.fit(split, epochs=10, runs=1)
     assert res[0]["test"] > 0.7, res
     assert "seconds" in res[0]
+
+
+def test_minibatch_scan_matches_loop():
+    """The one-dispatch-per-epoch scan engine (device-resident features,
+    host-shipped chunk plans) reproduces the per-chunk loop exactly: same
+    rng stream, same induced subgraphs, same best-val selection."""
+    n, c = 300, 3
+    x, ei, y = random_graph(n, 1500, 10, c, seed=11, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+
+    def run(use_scan):
+        model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                          dropout=0.3)
+        tr = MiniBatchTrainer(model, x, ei, y, batch_size=100, lr=1e-2,
+                              loss="nll", metric="acc", use_scan=use_scan)
+        return tr.fit(split, epochs=8, runs=1, eval_step=2)[0]
+
+    a, b = run(False), run(True)
+    assert a["epoch"] == b["epoch"], (a, b)
+    for k in ("train", "valid", "test"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6)
