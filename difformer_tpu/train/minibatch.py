@@ -216,6 +216,23 @@ class MiniBatchTrainer:
         ``(res, out)``, the device path returns ``(res, None)``."""
         out_dev = self._full_forward(params)
         le = self.labels_eval
+        if self.metric == "rocauc" and le.ndim == 2 and le.shape[-1] > 1:
+            # multilabel AUC on device (the ogbn-proteins shape): ships [S]
+            # scalars instead of [N, T] logits
+            from difformer_tpu.utils.metrics import device_rocauc_tasks
+
+            if not hasattr(self, "_labels_dev"):
+                self._labels_dev = jnp.asarray(le.astype(np.float32))
+                self._auc_jit = jax.jit(device_rocauc_tasks)
+            names = list(split_idx.keys())
+            res = {}
+            for name in names:
+                m = np.zeros(self.n, bool)
+                m[np.asarray(split_idx[name])] = True
+                res[name] = float(self._auc_jit(
+                    out_dev.astype(jnp.float32), self._labels_dev,
+                    jnp.asarray(m)))
+            return res, None
         if self.metric == "acc" and (le.ndim == 1 or le.shape[-1] == 1):
             if not hasattr(self, "_metric_jit"):
                 self._y_int = jnp.asarray(

@@ -236,6 +236,14 @@ class FullBatchTrainer:
         path), 'mse' == METRICS['mse'] for dense targets. rocauc/f1 and
         multilabel acc stay host-side (fit falls back to the per-epoch
         loop; parity asserted in tests/test_trainer.py)."""
+        if self.metric_name == "rocauc":
+            from difformer_tpu.utils.metrics import device_rocauc_tasks
+
+            return jnp.stack([
+                device_rocauc_tasks(out.astype(jnp.float32), labels,
+                                    split_masks[s])
+                for s in range(split_masks.shape[0])
+            ])
         if self.metric_name == "acc":
             pred = jnp.argmax(out, axis=-1)
             true = labels if labels.ndim == 1 else jnp.argmax(labels, axis=-1)
@@ -316,9 +324,14 @@ class FullBatchTrainer:
             return False
         if self.metric_name == "mse":
             return True
-        if self.metric_name != "acc":
-            return False            # rocauc/f1 metrics are host-side
         le = self.labels_eval
+        if self.metric_name == "rocauc":
+            # device_rocauc_tasks matches host eval_rocauc for NaN-free
+            # multilabel targets (the proteins-family shape); the
+            # single-column softmax variant stays host-side
+            return le.ndim == 2 and le.shape[-1] > 1
+        if self.metric_name != "acc":
+            return False            # f1 stays host-side
         # device acc matches host eval_acc only for single-label targets
         return le.ndim == 1 or le.shape[-1] == 1
 

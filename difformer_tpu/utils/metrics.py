@@ -118,3 +118,53 @@ METRICS = {
     "rocauc": eval_rocauc,
     "mse": eval_mse,
 }
+
+
+def device_rocauc_tasks(scores, labels, mask):
+    """OGB-style multi-task ROC-AUC computed ON DEVICE (jax arrays in,
+    scalar out) — midrank tie handling identical to :func:`roc_auc_score`,
+    per-task skipping of single-class columns identical to
+    :func:`eval_rocauc`. Exists so proteins-scale eval ships [1] scalar
+    instead of the [N, T] logits to host (~58 MB ≈ seconds through a
+    remote-TPU tunnel); parity vs the host path is tested to ~1e-5
+    (f32 tree-sum of the rank statistic vs the host's float64).
+
+    scores/labels: [N, T]; mask: bool [N] selecting the split's rows.
+    Labels must be binary 0/1 (no NaN-label support — none of the covered
+    datasets has missing task labels). Rows outside the mask are excluded
+    by sorting them past the real rows (masked ranks never enter the
+    statistic).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = scores.shape[0]
+    maskf = mask.astype(jnp.float32)
+
+    def one_task(score, label):
+        # masked-out rows sort to the end; ranks of real rows among
+        # themselves are then just their sorted positions (midranked)
+        big = jnp.max(jnp.abs(score)) * 2 + 1e6
+        key = jnp.where(mask, score.astype(jnp.float32), big)
+        order = jnp.argsort(key)
+        s_sorted = key[order]
+        new_group = jnp.concatenate(
+            [jnp.ones((1,), bool), s_sorted[1:] != s_sorted[:-1]])
+        gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+        r = jnp.arange(1, n + 1, dtype=jnp.float32)
+        gsum = jax.ops.segment_sum(r, gid, n)
+        gcnt = jax.ops.segment_sum(jnp.ones_like(r), gid, n)
+        mid_sorted = gsum[gid] / gcnt[gid]
+        ranks = jnp.zeros((n,), jnp.float32).at[order].set(mid_sorted)
+        pos = (label == 1) & mask
+        n_pos = jnp.sum(pos.astype(jnp.float32))
+        n_neg = jnp.sum(((label == 0) & mask).astype(jnp.float32))
+        pos_rank_sum = jnp.sum(ranks * pos.astype(jnp.float32))
+        auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(
+            n_pos * n_neg, 1.0)
+        valid = (n_pos > 0) & (n_neg > 0)
+        return auc, valid
+
+    aucs, valid = jax.vmap(one_task, in_axes=(1, 1))(scores, labels)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(aucs * v) / jnp.maximum(jnp.sum(v), 1.0)

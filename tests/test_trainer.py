@@ -172,3 +172,56 @@ def test_scanned_fit_fallback_conditions():
     assert not t2._scan_eligible(8, 1, False, True, "", 0, False)   # print_prop
     assert not t2._scan_eligible(8, 1, False, False, "d", 3, False)  # ckpt
     assert not t2._scan_eligible(1, 1, False, False, "", 0, False)  # block<=1
+
+
+def test_scanned_fit_rocauc_device_path():
+    """Multilabel rocauc (the proteins shape) is now scan-eligible: device
+    AUC == host eval_rocauc, scanned fit == per-epoch loop."""
+    rng = np.random.default_rng(3)
+    n, t = 150, 6
+    x, ei, _ = random_graph(n, 650, 12, 3, seed=5, homophily=0.85)
+    y = (rng.random((n, t)) < 0.4).astype(np.float32)
+    g = GraphData.from_numpy(x, standard_preprocess(ei, n))
+    split = {"train": np.arange(0, 70), "valid": np.arange(70, 110),
+             "test": np.arange(110, 150)}
+
+    def run(epoch_block):
+        m = DIFFormer(hidden_channels=16, out_channels=t, num_layers=2,
+                      dropout=0.0)
+        tr = FullBatchTrainer(m, g, y, lr=1e-2, weight_decay=0.0,
+                              loss="bce", metric="rocauc", seed=4)
+        assert tr._scan_eligible(8, 1, False, False, "", 0, False)
+        return tr.fit(split, epochs=10, runs=1, eval_step=2,
+                      epoch_block=epoch_block)[0]
+
+    a, b = run(0), run(8)
+    assert a["epoch"] == b["epoch"], (a, b)
+    for k in ("train", "valid", "test"):
+        np.testing.assert_allclose(a[k], b[k], atol=2e-5)
+
+
+def test_minibatch_rocauc_device_eval_matches_host():
+    """MiniBatchTrainer multilabel eval: device AUC path == host metric."""
+    import jax.numpy as jnp
+
+    from difformer_tpu.train.minibatch import MiniBatchTrainer
+    from difformer_tpu.utils.metrics import eval_rocauc
+
+    rng = np.random.default_rng(6)
+    n, t = 200, 5
+    x, ei, _ = random_graph(n, 900, 10, 3, seed=6, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    y = (rng.random((n, t)) < 0.35).astype(np.float32)
+    model = DIFFormer(hidden_channels=16, out_channels=t, num_layers=2,
+                      dropout=0.0)
+    tr = MiniBatchTrainer(model, x, ei, y, batch_size=80, loss="bce",
+                          metric="rocauc")
+    params, _ = tr.init_state(0)
+    split = {"train": np.arange(0, 100), "valid": np.arange(100, 150),
+             "test": np.arange(150, 200)}
+    res, out = tr.evaluate(params, split)
+    assert out is None            # device path taken
+    logits = np.asarray(tr._full_forward(params))
+    for name, idx in split.items():
+        want = eval_rocauc(y[idx], logits[idx])
+        np.testing.assert_allclose(res[name], want, atol=2e-5)
