@@ -152,7 +152,9 @@ class DistributedTrainer:
             self.sg = make_global_array_tree(self.sg, self.mesh)
         self.model = model
         self.init_model = init_model
+        self.metric_name = metric
         self.metric_fn = METRICS[metric]
+        self._eval_cache = None   # (split_key, masks_dev, labels_dev, jit)
         self.tx = torch_adam(lr, weight_decay)
         self.seed = seed
         loss_fn = _nll_sum if loss == "nll" else _bce_sum
@@ -190,10 +192,76 @@ class DistributedTrainer:
             opt_state = make_global_array_tree(opt_state, self.mesh, spec=P())
         return params, opt_state
 
+    def _device_eval(self, out_dev, split_idx):
+        """On-device split metrics over the sharded logits — fetches only
+        [n_splits] scalars instead of the full [N, C] logits (which cost
+        seconds at headline scale through a remote-TPU tunnel and a full
+        cross-process allgather under multi-host). Covers single-label
+        'acc' and multilabel 'rocauc' (device_rocauc_tasks); other metrics
+        fall back to the host path. Labels and split masks are laid out
+        once in the padded shard order (via node_perm), so padding rows
+        never enter any mask."""
+        le = self.labels_eval
+        acc_ok = self.metric_name == "acc" and (
+            le.ndim == 1 or le.shape[-1] == 1)
+        auc_ok = (self.metric_name == "rocauc" and le.ndim == 2
+                  and le.shape[-1] > 1)
+        if not (acc_ok or auc_ok):
+            return None
+        names = tuple(split_idx.keys())
+        key = (names, tuple(int(np.asarray(v)[0]) if len(v) else -1
+                            for v in split_idx.values()),
+               tuple(len(v) for v in split_idx.values()))
+        if self._eval_cache is None or self._eval_cache[0] != key:
+            n = le.shape[0]
+            n_pad = int(np.prod(self.sg.node_feat.shape[:2]))
+            pos = (self._node_perm if self._node_perm is not None
+                   else np.arange(n))
+            masks = np.zeros((len(names), n_pad), bool)
+            for i, name in enumerate(names):
+                masks[i, pos[np.asarray(split_idx[name])]] = True
+            if acc_ok:
+                lp = np.zeros((n_pad,), np.int32)
+                lp[pos] = le.reshape(n, -1)[:, 0].astype(np.int32)
+
+                def metric(out, labels, masks):
+                    import jax.numpy as jnp
+
+                    out = out.reshape(-1, out.shape[-1])
+                    val = (jnp.argmax(out, -1) == labels).astype(
+                        jnp.float32)
+                    m = masks.astype(jnp.float32)
+                    return (m @ val) / jnp.maximum(m.sum(axis=1), 1.0)
+            else:
+                from difformer_tpu.utils.metrics import device_rocauc_tasks
+
+                lp = np.zeros((n_pad, le.shape[1]), np.float32)
+                lp[pos] = le.astype(np.float32)
+
+                def metric(out, labels, masks):
+                    import jax.numpy as jnp
+
+                    out = out.reshape(-1, out.shape[-1]).astype(jnp.float32)
+                    return jnp.stack([
+                        device_rocauc_tasks(out, labels, masks[i])
+                        for i in range(masks.shape[0])
+                    ])
+
+            self._eval_cache = (key, masks, lp, jax.jit(metric))
+        from difformer_tpu.parallel.api import fetch_to_host
+
+        _, masks, lp, metric_jit = self._eval_cache
+        vals = fetch_to_host(metric_jit(out_dev, lp, masks))
+        return dict(zip(names, map(float, vals)))
+
     def evaluate(self, params, split_idx):
         from difformer_tpu.parallel.api import fetch_to_host
 
-        out = fetch_to_host(self._apply(params, self.sg))
+        out_dev = self._apply(params, self.sg)
+        res = self._device_eval(out_dev, split_idx)
+        if res is not None:
+            return res
+        out = fetch_to_host(out_dev)
         out = out.reshape(-1, out.shape[-1])
         if self._node_perm is not None:
             out = out[self._node_perm]      # padded layout -> original order

@@ -125,3 +125,34 @@ def test_distributed_trainer_rejects_unknown_layout():
     with pytest.raises(ValueError, match="unknown layout"):
         DistributedTrainer(model, init_model, x, ei, y,
                            train_mask=train_mask, layout="local")
+
+
+def test_distributed_device_eval_matches_host():
+    """The sharded device-eval path (scalars only cross host) equals the
+    host fetch-all-logits metric, for both layouts (perm vs none)."""
+    from difformer_tpu.parallel.api import fetch_to_host
+
+    n, c = 160, 3
+    x, ei, y = random_graph(n, 700, 10, c, seed=29, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    train_mask = idx_to_mask(split["train"], n)
+
+    for layout in (None, "locality"):
+        model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                          dropout=0.0, axis_name="graph")
+        init_model = DIFFormer(hidden_channels=16, out_channels=c,
+                               num_layers=2, dropout=0.0)
+        tr = DistributedTrainer(model, init_model, x, ei, y,
+                                train_mask=train_mask, layout=layout)
+        params, _ = tr.init_state(0)
+        res_dev = tr.evaluate(params, split)
+
+        # host reference on the same logits
+        out = fetch_to_host(tr._apply(params, tr.sg))
+        out = out.reshape(-1, out.shape[-1])
+        out = (out[tr._node_perm] if tr._node_perm is not None
+               else out[:n])
+        for name, idx in split.items():
+            want = tr.metric_fn(y[np.asarray(idx)], out[np.asarray(idx)])
+            np.testing.assert_allclose(res_dev[name], want, atol=1e-6)
