@@ -946,7 +946,9 @@ def main():
                 if not tok:
                     continue
                 parts = [int(v) for v in tok.split(":")]
-                sig_cfgs.append((parts + [3, 1])[:3])
+                sig_cfgs.append((parts[0],
+                                 parts[1] if len(parts) > 1 else 3,
+                                 parts[2] if len(parts) > 2 else 1))
             for n_sig, l_sig, h_sig in sig_cfgs:
                 env = dict(os.environ, BENCH_SIGMOID_ONLY="1",
                            BENCH_SIGMOID_N=str(n_sig),
