@@ -178,3 +178,45 @@ def prefetch(iterator, depth: int = 2):
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64):
+    """Scatter-free conv plan for k-in-regular padded batches.
+
+    kNN-built graphs (``knn_graph(pos, k, include_self=True)`` — the
+    actstrack/synmol builders) give EVERY real node exactly k in-edges,
+    and ``pad_graph_batch`` keeps edges receiver-sorted — so the edge list
+    reshapes into a dense gather table: ``idx[r, j]`` = j-th sender of
+    padded-flat node r (self for padding rows), ``w[r, j]`` = the
+    symmetric gcn norm (0 on padding). The conv becomes
+    ``(x[idx] * w).sum(axis=1)`` — a dense gather + reduce with NO
+    scatter in the forward (the reference round-trips scatter_add per
+    layer, ``difformer-v2.py:30-46``).
+
+    Returns ``(idx [B*M, k] int32, w [B*M, k] f32)`` or ``None`` when the
+    batch is not k-in-regular (e.g. radius graphs — callers fall back to
+    the masked edge-list path).
+    """
+    em = np.asarray(batch.edge_mask)
+    recv = np.asarray(batch.receivers)[em]
+    send = np.asarray(batch.senders)[em]
+    B, M = batch.node_feat.shape[:2]
+    n_pad = B * M
+    if recv.size == 0:
+        return None
+    deg = np.bincount(recv, minlength=n_pad)
+    real = np.asarray(batch.node_mask).reshape(-1)
+    k = int(deg[real].max(initial=0))
+    if k == 0 or k > max_k:
+        return None
+    if not (np.all(deg[real] == k) and np.all(deg[~real] == 0)):
+        return None
+    if np.any(np.diff(recv) < 0):
+        return None
+    idx = np.arange(n_pad, dtype=np.int32)[:, None].repeat(k, 1)
+    w = np.zeros((n_pad, k), np.float32)
+    idx[real] = send.reshape(-1, k)
+    inv_sqrt = np.zeros(n_pad, np.float32)
+    inv_sqrt[deg > 0] = 1.0 / np.sqrt(deg[deg > 0])
+    w[real] = (inv_sqrt[send] * inv_sqrt[recv]).reshape(-1, k)
+    return idx, w

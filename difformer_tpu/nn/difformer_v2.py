@@ -61,6 +61,7 @@ class TransConvV2(nn.Module):
         edge_weight=None,
         edge_mask=None,
         indices_are_sorted=False,
+        knn_table=None,        # (idx [B*M, k], w [B*M, k]) scatter-free plan
     ):
         B, M = x_pad.shape[:2]
         H, D = self.num_heads, self.out_channels
@@ -95,11 +96,20 @@ class TransConvV2(nn.Module):
 
         if self.use_graph:
             v_flat = value.reshape(B * M, value.shape[2], D)
-            g_flat = gcn_conv(
-                v_flat, senders, receivers, edge_weight,
-                num_nodes=B * M, edge_mask=edge_mask,
-                indices_are_sorted=indices_are_sorted,
-            )
+            if knn_table is not None:
+                # k-in-regular plan (data/batching.regular_knn_table):
+                # dense [B*M, k] gather + reduce — no scatter in the
+                # forward (the backward's take-vjp scatter remains)
+                idx, w = knn_table
+                g_flat = jnp.einsum(
+                    "rk,rkhd->rhd", w.astype(v_flat.dtype),
+                    jnp.take(v_flat, idx, axis=0))
+            else:
+                g_flat = gcn_conv(
+                    v_flat, senders, receivers, edge_weight,
+                    num_nodes=B * M, edge_mask=edge_mask,
+                    indices_are_sorted=indices_are_sorted,
+                )
             graph_output = g_flat.reshape(B, M, value.shape[2], D)
             if self.graph_weight > 0:
                 final_output = (
@@ -146,6 +156,7 @@ class DIFFormerV2(nn.Module):
         *,
         train=False,
         indices_are_sorted=False,
+        knn_table=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -169,7 +180,7 @@ class DIFFormerV2(nn.Module):
                 crossgraph_quirk=self.crossgraph_quirk,
                 name=f"conv_{i}",
             )(x, node_mask, n_nodes, senders, receivers, edge_weight,
-              edge_mask, indices_are_sorted)
+              edge_mask, indices_are_sorted, knn_table)
             if self.use_residual:
                 x = self.alpha * x + (1 - self.alpha) * prev
             if self.use_bn:
@@ -196,10 +207,11 @@ class GraphLevelModel(nn.Module):
     @nn.compact
     def __call__(self, x_pad, node_mask, n_nodes, senders=None, receivers=None,
                  edge_weight=None, edge_mask=None, *, train=False,
-                 indices_are_sorted=False):
+                 indices_are_sorted=False, knn_table=None):
         h = self.encoder(
             x_pad, node_mask, n_nodes, senders, receivers, edge_weight,
             edge_mask, train=train, indices_are_sorted=indices_are_sorted,
+            knn_table=knn_table,
         )                                            # [B, M, C]
         m = node_mask[..., None].astype(h.dtype)
         if self.graph_pooling == "sum":

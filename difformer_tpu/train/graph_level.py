@@ -50,6 +50,7 @@ class GraphLevelTrainer:
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._fwd = jax.jit(self._fwd_impl)
+        self._knn_mode = None   # probe on first batch (k-in-regular plan)
 
     def _apply(self, params, b, train, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
@@ -59,6 +60,7 @@ class GraphLevelTrainer:
             b["senders"], b["receivers"], None, b["edge_mask"],
             train=train, rngs=rngs,
             indices_are_sorted=self._edges_sorted,
+            knn_table=b.get("knn_table"),
         )
 
     def _step_impl(self, params, opt_state, b, rng):
@@ -76,7 +78,7 @@ class GraphLevelTrainer:
         return self._apply(params, b, False)[:, 0]
 
     def _to_device(self, batch):
-        return {
+        d = {
             "node_feat": jnp.asarray(batch.node_feat),
             "node_mask": jnp.asarray(batch.node_mask),
             "n_nodes": jnp.asarray(batch.n_nodes),
@@ -86,6 +88,19 @@ class GraphLevelTrainer:
             "labels": jnp.asarray(batch.labels),
             "graph_mask": jnp.asarray(batch.graph_mask),
         }
+        if self._knn_mode is not False:
+            # k-in-regular datasets (kNN builders) get the scatter-free
+            # dense conv plan; the first non-regular batch (radius graphs)
+            # turns the probe off for good (one retrace at most)
+            from difformer_tpu.data.batching import regular_knn_table
+
+            t = regular_knn_table(batch)
+            if t is None:
+                self._knn_mode = False
+            else:
+                self._knn_mode = True
+                d["knn_table"] = (jnp.asarray(t[0]), jnp.asarray(t[1]))
+        return d
 
     def init_state(self, run=0):
         it = batch_iterator(

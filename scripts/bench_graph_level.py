@@ -233,6 +233,11 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
                       compute_dtype=dtype or "")
     model = GraphLevelModel(encoder=enc, out_channels=1)
     sorted_edges = bool(b.edges_sorted)
+    from difformer_tpu.data.batching import regular_knn_table
+
+    knn_t = regular_knn_table(b)
+    if knn_t is not None:
+        knn_t = (jnp.asarray(knn_t[0]), jnp.asarray(knn_t[1]))
     variables = model.init(
         jax.random.PRNGKey(0), bd["node_feat"], bd["node_mask"],
         bd["n_nodes"], bd["senders"], bd["receivers"], None,
@@ -258,7 +263,8 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
         out = model.apply({"params": p}, bd["node_feat"], bd["node_mask"],
                           bd["n_nodes"], bd["senders"], bd["receivers"],
                           None, bd["edge_mask"], train=False,
-                          indices_are_sorted=sorted_edges)
+                          indices_are_sorted=sorted_edges,
+                          knn_table=knn_t)
         return optax.sigmoid_binary_cross_entropy(
             out.reshape(-1), bd["labels"].reshape(-1)).mean()
 

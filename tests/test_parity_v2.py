@@ -126,3 +126,39 @@ def test_v2_sorted_scatter_path_matches(rng):
                         indices_are_sorted=True)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_v2_knn_table_conv_matches_edge_list(rng):
+    """The scatter-free k-in-regular conv plan (regular_knn_table) equals
+    the masked edge-list gcn_conv path."""
+    from difformer_tpu.data.batching import regular_knn_table
+    from difformer_tpu.data.transforms import knn_graph
+
+    xs, eis = [], []
+    for n in (9, 14, 11):
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        xs.append(np.concatenate(
+            [rng.normal(size=(n, 5)).astype(np.float32), pos], axis=1))
+        eis.append(knn_graph(pos, 4, include_self=True))
+    batch = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
+    t = regular_knn_table(batch)
+    assert t is not None
+    idx, w = t
+
+    model = DIFFormerV2(hidden_channels=16, out_channels=4, num_layers=2,
+                        dropout=0.0)
+    args = (jnp.asarray(batch.node_feat), jnp.asarray(batch.node_mask),
+            jnp.asarray(batch.n_nodes), jnp.asarray(batch.senders),
+            jnp.asarray(batch.receivers), None,
+            jnp.asarray(batch.edge_mask))
+    params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
+    out_e = model.apply({"params": params}, *args, train=False)
+    out_k = model.apply({"params": params}, *args, train=False,
+                        knn_table=(jnp.asarray(idx), jnp.asarray(w)))
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_e),
+                               rtol=1e-5, atol=1e-5)
+
+    # non-regular batch (drop an edge) -> builder declines
+    eis[0] = eis[0][:, :-1]
+    b2 = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
+    assert regular_knn_table(b2) is None
