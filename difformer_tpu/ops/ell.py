@@ -57,14 +57,32 @@ def _gcn_values(senders, receivers, num_nodes, edge_weight):
     return np.nan_to_num(val, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
 
 
-def _build_direction(point_to, owner, values, num_nodes, *, bucket_factor=4,
-                     min_bucket=8):
-    """ELL for: out[owner] = Σ values * x[point_to], grouped by owner.
+def _adaptive_ks(counts, *, min_bucket=8, max_buckets=6):
+    """Degree-quantile bucket widths (round 4).
 
-    ``bucket_factor`` controls the degree-bucket geometric spacing: fewer
-    buckets (factor 4 default → ≤4× padding waste per bucket) mean fewer
-    unrolled gather kernels and much faster XLA compiles than factor-2.
-    """
+    The original geometric ladder (8, 32, 128, … — factor 4) pays up to 4×
+    slot padding per bucket; on Poisson-degree graphs (mean ≈ 32, the
+    uniform headline) that executed ~10M gather slots for 4.2M edges
+    (~26% average fill in the k=128 bucket). Quantile-placed widths bound
+    the waste by the quantile spacing instead: ≤ max_buckets widths at the
+    degree distribution's quantiles, rounded up to multiples of 8
+    (lane-friendly), last width covering the max degree. Bucket count
+    stays small (compile time scales with the number of unrolled gather
+    kernels)."""
+    pos = counts[counts > 0]
+    if pos.size == 0:
+        return [min_bucket]
+    qs = np.linspace(0.0, 1.0, max_buckets + 1)[1:]
+    ks = {max(min_bucket, int(np.quantile(pos, q))) for q in qs}
+    ks = sorted({-(-k // 8) * 8 for k in ks})
+    max_deg = int(pos.max())
+    if ks[-1] < max_deg:
+        ks[-1] = -(-max_deg // 8) * 8
+    return ks
+
+
+def _build_direction(point_to, owner, values, num_nodes, *, min_bucket=8):
+    """ELL for: out[owner] = Σ values * x[point_to], grouped by owner."""
     from difformer_tpu import native
 
     if native.available() and point_to.shape[0] > 0:
@@ -83,17 +101,7 @@ def _build_direction(point_to, owner, values, num_nodes, *, bucket_factor=4,
         val_s = np.zeros(1, np.float32)
     counts = np.diff(indptr)
 
-    ks = []
-    k = min_bucket
-    max_deg = max(int(counts.max()) if num_nodes else 1, 1)
-    while k < max_deg:
-        k *= bucket_factor
-    cap = k
-    k = min_bucket
-    while k <= cap:
-        ks.append(k)
-        k *= bucket_factor
-
+    ks = _adaptive_ks(counts, min_bucket=min_bucket)
     bucket_of = np.searchsorted(np.asarray(ks), np.maximum(counts, 1))
     nbr_idx, weights, node_lists = [], [], []
     e_total = max(len(point_s), 1)
