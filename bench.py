@@ -105,41 +105,51 @@ CALIB = {"base_ns": GATHER_BASE_NS, "gbps": GATHER_GBPS,
          "measured_now": False, "detail": None}
 
 
-def calibrate_gather(jax, *, n=131072, rows=59510, k=128, reps=4):
+def calibrate_gather(jax, *, n=131072, k=32, steps=8, reps=3):
     """Re-measure the random row-gather floor in THIS invocation.
 
-    Runs the dominant-ELL-bucket op (gather [rows, k] rows of x[n, d] +
-    weighted reduce — same shape as scripts/bench_gather_locality.py) at two
-    row widths (d=8 → 16 B and d=256 → 512 B bf16) and solves the two-point
-    linear model t_row = base + bytes/bw. A third width (d=64, the
-    production H=1 row) validates the fit. Updates CALIB in place; on any
-    failure the frozen constants stay and rows report
+    Gathers [n, k] random rows of x[n, d] + weighted-reduce, with the
+    output FED BACK as the next iteration's gather source inside a
+    ``lax.scan`` — the data dependency stops XLA hoisting the gather and
+    amortizes the ~25 ms per-call dispatch/fetch latency of the axon
+    tunnel that contaminated the round-3 single-call microbench (measured:
+    the same 4.2M-row gather reads 33 ms as a single call and 12 ms as a
+    scan iteration). Two widths (d=8 → 16 B and d=256 → 512 B bf16) solve
+    t_row = base + bytes/bw; d=64 (the production H=1 row) validates the
+    fit. K is fixed at 32 (ELL-bucket scale), so the per-OUTPUT-row
+    reduction cost (~25 ns) is folded into base pro rata. Updates CALIB in
+    place; on any failure the frozen constants stay and rows report
     calibration_measured_now: false. ~30-60 s including compiles.
     """
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    idx = jnp.asarray(rng.integers(0, n, (rows, k)).astype(np.int32))
-
-    @jax.jit
-    def spmm(x, idx, w):
-        g = jnp.take(x, idx, axis=0)
-        return jnp.einsum("rk,rkd->rd", w, g)
+    idx = jnp.asarray(rng.integers(0, n, (n, k)).astype(np.int32))
 
     def measure(d):
         x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32),
                         jnp.bfloat16)
-        w = jnp.asarray(rng.uniform(size=(rows, k)).astype(np.float32),
+        w = jnp.asarray(rng.uniform(size=(n, k)).astype(np.float32),
                         jnp.bfloat16)
-        out = spmm(x, idx, w)
+
+        @jax.jit
+        def f(c):
+            def body(c, _):
+                g = jnp.take(c, idx, axis=0)
+                return jnp.einsum("rk,rkd->rd", w, g), None
+
+            o, _ = jax.lax.scan(body, c, None, length=steps)
+            return o
+
+        out = f(x)
         float(jnp.sum(out.astype(jnp.float32)))   # sync (block_until_ready
         best = float("inf")                       # is unreliable on axon)
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = spmm(x, idx, w)
+            out = f(x)
             float(jnp.sum(out.astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        return best / (rows * k)          # seconds per gathered row
+            best = min(best, (time.perf_counter() - t0) / steps)
+        return best / (n * k)             # seconds per gathered row
 
     try:
         t_narrow, t_wide, t_prod = measure(8), measure(256), measure(64)
