@@ -897,6 +897,7 @@ def main():
         tr_mode = os.environ.get("BENCH_TRAINER", "1")
         trainer_set = (set(matrix) if tr_mode == "all"
                        else {("clustered", 1), ("powerlaw", 1),
+                             ("uniform", 1),
                              ("clustered", 8), ("powerlaw", 8)}
                        if tr_mode == "1" else set())
         rows = []
