@@ -197,6 +197,10 @@ def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64):
     batch is not k-in-regular (e.g. radius graphs — callers fall back to
     the masked edge-list path).
     """
+    if batch.edge_weight is not None:
+        # the plan bakes only the symmetric gcn norm into w; per-edge
+        # weights would be silently dropped — decline, callers fall back
+        return None
     em = np.asarray(batch.edge_mask)
     recv = np.asarray(batch.receivers)[em]
     send = np.asarray(batch.senders)[em]

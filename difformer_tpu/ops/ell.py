@@ -72,12 +72,16 @@ def _adaptive_ks(counts, *, min_bucket=8, max_buckets=6):
     pos = counts[counts > 0]
     if pos.size == 0:
         return [min_bucket]
+    # quantize widths to multiples of 8 (lane-friendly) — unless the caller
+    # asked for narrower buckets (the BSR residual uses min_bucket=4 for
+    # its low-degree sparse tail), in which case min_bucket is the quantum
+    mult = 8 if min_bucket >= 8 else max(min_bucket, 1)
     qs = np.linspace(0.0, 1.0, max_buckets + 1)[1:]
     ks = {max(min_bucket, int(np.quantile(pos, q))) for q in qs}
-    ks = sorted({-(-k // 8) * 8 for k in ks})
+    ks = sorted({-(-k // mult) * mult for k in ks})
     max_deg = int(pos.max())
     if ks[-1] < max_deg:
-        ks[-1] = -(-max_deg // 8) * 8
+        ks[-1] = -(-max_deg // mult) * mult
     return ks
 
 

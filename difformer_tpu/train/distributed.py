@@ -208,10 +208,16 @@ class DistributedTrainer:
                   and le.shape[-1] > 1)
         if not (acc_ok or auc_ok):
             return None
+        import hashlib
+
         names = tuple(split_idx.keys())
-        key = (names, tuple(int(np.asarray(v)[0]) if len(v) else -1
-                            for v in split_idx.values()),
-               tuple(len(v) for v in split_idx.values()))
+        # content hash: splits with equal first element/length must not
+        # silently reuse another split's masks (e.g. rotated CV folds)
+        key = (names, tuple(
+            hashlib.sha1(
+                np.ascontiguousarray(np.asarray(v, np.int64)).tobytes()
+            ).hexdigest()
+            for v in split_idx.values()))
         if self._eval_cache is None or self._eval_cache[0] != key:
             n = le.shape[0]
             n_pad = int(np.prod(self.sg.node_feat.shape[:2]))
@@ -247,7 +253,24 @@ class DistributedTrainer:
                         for i in range(masks.shape[0])
                     ])
 
-            self._eval_cache = (key, masks, lp, jax.jit(metric))
+            # device-resident cache: numpy leaves here would re-upload the
+            # [n_pad, T] label matrix (~58 MB at proteins scale) on every
+            # eval call — the very transfer this path exists to remove.
+            # Under multi-process the constants must be global replicated
+            # arrays (a committed single-device array conflicts with the
+            # sharded logits' mesh).
+            if self._mp:
+                from jax.sharding import PartitionSpec as P
+
+                from difformer_tpu.parallel.api import make_global_array_tree
+
+                masks_dev, lp_dev = make_global_array_tree(
+                    (masks, lp), self.mesh, spec=P())
+            else:
+                import jax.numpy as jnp
+
+                masks_dev, lp_dev = jnp.asarray(masks), jnp.asarray(lp)
+            self._eval_cache = (key, masks_dev, lp_dev, jax.jit(metric))
         from difformer_tpu.parallel.api import fetch_to_host
 
         _, masks, lp, metric_jit = self._eval_cache

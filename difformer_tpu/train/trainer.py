@@ -57,6 +57,8 @@ def bce_with_logits_loss(logits, labels, mask):
 
 def mse_loss(preds, targets, mask):
     per = (preds.reshape(targets.shape) - targets) ** 2
+    if per.ndim > 1:            # per-node mean over feature columns
+        per = per.mean(axis=tuple(range(1, per.ndim)))
     m = mask.astype(per.dtype)
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -116,6 +118,9 @@ class FullBatchTrainer:
                 self.labels_train = jnp.asarray(labels2)
             else:
                 self.labels_train = jnp.asarray(labels.astype(np.float32))
+        elif loss == "mse":
+            # regression targets stay float, original layout
+            self.labels_train = jnp.asarray(labels.astype(np.float32))
         else:
             self.labels_train = jnp.asarray(
                 labels.reshape(labels.shape[0], -1)[:, 0].astype(np.int32)
@@ -359,6 +364,7 @@ class FullBatchTrainer:
                       f"test {res['test']:.4f}")
 
         epoch = 0
+        last_eval = -1
         if eval_step < epochs:
             groups = max(1, epoch_block // eval_step)
             L = groups * eval_step              # epochs per block
@@ -375,7 +381,17 @@ class FullBatchTrainer:
                          losses[gi * eval_step])
                 epoch += L
         else:
-            # eval only at the end: pure train-step blocks
+            # eval only at the end — but the per-epoch loop always evals at
+            # epoch 0 (0 % eval_step == 0): reproduce it with a 1-epoch
+            # block + device metrics, then pure train-step blocks
+            blk1 = self._fit_noeval_block(1)
+            state, rng, l0 = blk1(
+                state, rng, train_mask, self.graph, self.labels_train,
+                self.model_kwargs)
+            take(0, self._eval_state_device(state, split_masks, names),
+                 float(np.asarray(l0)[0]))
+            last_eval = 0
+            epoch = 1
             blk = self._fit_noeval_block(epoch_block)
             while epoch + epoch_block <= epochs:
                 state, rng, losses = blk(
@@ -386,7 +402,6 @@ class FullBatchTrainer:
         # remainder (and the forced final-epoch eval) via the per-epoch
         # path — same rng stream, host metrics (tested identical to the
         # device metrics for the eligible cases)
-        last_eval = -1
         while epoch < epochs:
             rng, step_rng = jax.random.split(rng)
             state, loss = self.train_step(state, step_rng, train_mask)
@@ -398,24 +413,26 @@ class FullBatchTrainer:
         if last_eval != epochs - 1 and (epochs - 1) % eval_step != 0:
             # scanned blocks covered the final epoch but its forced eval
             # (reference main.py:133: every epoch incl. the last under
-            # eval_step gating) was not an eval_step boundary. Device
-            # metrics, NOT self.evaluate: the host path fetches the full
-            # [N, C] logits (58 MB ≈ seconds through the remote-TPU
-            # tunnel); this fetches [S] scalars.
-            if "final_eval" not in self._block_cache:
-                def fe(params, extra, g, kwargs, labels, split_masks):
-                    out = self._forward_eval_impl(params, extra, g, kwargs)
-                    return self._device_split_metrics(
-                        out, labels, split_masks)
-
-                self._block_cache["final_eval"] = jax.jit(fe)
-            metrics = self._block_cache["final_eval"](
-                state.params, state.extra, self.graph, self.model_kwargs,
-                self.labels_train, split_masks)
-            take(epochs - 1,
-                 dict(zip(names, map(float, np.asarray(metrics)))),
-                 float("nan"))
+            # eval_step gating) was not an eval_step boundary
+            take(epochs - 1, self._eval_state_device(state, split_masks,
+                                                     names), float("nan"))
         return best
+
+    def _eval_state_device(self, state, split_masks, names):
+        """Split metrics for a state, computed on device — NOT
+        self.evaluate: the host path fetches the full [N, C] logits (58 MB
+        ≈ seconds through the remote-TPU tunnel); this fetches [S]
+        scalars."""
+        if "state_eval" not in self._block_cache:
+            def fe(params, extra, g, kwargs, labels, split_masks):
+                out = self._forward_eval_impl(params, extra, g, kwargs)
+                return self._device_split_metrics(out, labels, split_masks)
+
+            self._block_cache["state_eval"] = jax.jit(fe)
+        metrics = self._block_cache["state_eval"](
+            state.params, state.extra, self.graph, self.model_kwargs,
+            self.labels_train, split_masks)
+        return dict(zip(names, map(float, np.asarray(metrics))))
 
     # -- public API ----------------------------------------------------------
     def train_step(self, state, rng, train_mask):

@@ -139,7 +139,6 @@ def device_rocauc_tasks(scores, labels, mask):
     import jax.numpy as jnp
 
     n = scores.shape[0]
-    maskf = mask.astype(jnp.float32)
 
     def one_task(score, label):
         # masked-out rows sort to the end; ranks of real rows among
