@@ -198,7 +198,8 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
     ``jnp.bfloat16`` halves the block stream — GCN weights are O(0.01-1)
     so bf16's 8-bit mantissa costs ~1e-2 relative error on the branch).
     ``residual_kwargs``: forwarded to the residual ELL build; defaults to
-    tight bucketing (``min_bucket=4``; degree-quantile adaptive widths) — the sparse tail
+    degree-quantile adaptive widths with min_bucket=8 (on-chip A/B: the 4-quantum
+    variant adds a bucket kernel without saving slots, +10% conv time) — the sparse tail
     is low-degree so padding waste, not compile time, dominates there
     (measured: 1.65M → 1.12M slots, 39.2 → 31.6 ms/step on the SBM
     bench graph).
@@ -212,7 +213,7 @@ def build_bsr_gcn(senders, receivers, num_nodes, edge_weight=None, *,
         min_edges = default_min_edges(
             tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
     if residual_kwargs is None:
-        residual_kwargs = dict(min_bucket=4)
+        residual_kwargs = dict(min_bucket=8)
     ntr = -(-num_nodes // tile)
     kb_cap = None
     if block_budget_bytes:
@@ -433,7 +434,7 @@ def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
         min_edges = bucketed_min_edges(
             tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
     if residual_kwargs is None:
-        residual_kwargs = dict(min_bucket=4)
+        residual_kwargs = dict(min_bucket=8)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
     fwd, de_f = _build_bucketed_direction(
         senders, receivers, val, num_nodes, tile=tile, min_edges=min_edges,
