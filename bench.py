@@ -367,9 +367,10 @@ def trainer_probe(jax, *, model, ell, x, s_sorted, r_sorted, e, layers,
         metric="acc", model_kwargs={"ell": ell} if ell is not None else None)
 
     def timed_fit(eval_step, tag):
-        # warm block (compile) then the timed run; the block program is
-        # cached inside the trainer across fit calls
-        trainer.fit(split, epochs=epoch_block, runs=1, eval_step=eval_step,
+        # warm run with the SAME epoch count (the scanned fit compiles
+        # length-keyed blocks incl. prologue/remainder lengths; a shorter
+        # warm run would leave the timed run paying a compile)
+        trainer.fit(split, epochs=epochs, runs=1, eval_step=eval_step,
                     epoch_block=epoch_block)
         t0 = time.perf_counter()
         trainer.fit(split, epochs=epochs, runs=1, eval_step=eval_step,

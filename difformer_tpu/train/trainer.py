@@ -398,16 +398,25 @@ class FullBatchTrainer:
                     state, rng, train_mask, self.graph, self.labels_train,
                     self.model_kwargs)
                 epoch += epoch_block
+            if epoch < epochs:
+                # trailing partial block in ONE dispatch (a per-epoch tail
+                # here would pay a dispatch per epoch + a separate
+                # train-step compile); length-keyed, so it compiles once
+                blk_rem = self._fit_noeval_block(epochs - epoch)
+                state, rng, losses = blk_rem(
+                    state, rng, train_mask, self.graph, self.labels_train,
+                    self.model_kwargs)
+                epoch = epochs
 
         # remainder (and the forced final-epoch eval) via the per-epoch
-        # path — same rng stream, host metrics (tested identical to the
-        # device metrics for the eligible cases)
+        # path — same rng stream, metrics on device (tested identical to
+        # the host metrics for the scan-eligible cases)
         while epoch < epochs:
             rng, step_rng = jax.random.split(rng)
             state, loss = self.train_step(state, step_rng, train_mask)
             if epoch % eval_step == 0 or epoch == epochs - 1:
-                res, _ = self.evaluate(state, split_idx)
-                take(epoch, res, float(loss))
+                take(epoch, self._eval_state_device(state, split_masks,
+                                                    names), float(loss))
                 last_eval = epoch
             epoch += 1
         if last_eval != epochs - 1 and (epochs - 1) % eval_step != 0:
