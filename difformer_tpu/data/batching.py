@@ -180,7 +180,8 @@ def prefetch(iterator, depth: int = 2):
         yield item
 
 
-def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64):
+def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64,
+                      max_k_rev: int = 256, k_rev_pad: int = 0):
     """Scatter-free conv plan for k-in-regular padded batches.
 
     kNN-built graphs (``knn_graph(pos, k, include_self=True)`` — the
@@ -188,19 +189,24 @@ def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64):
     and ``pad_graph_batch`` keeps edges receiver-sorted — so the edge list
     reshapes into a dense gather table: ``idx[r, j]`` = j-th sender of
     padded-flat node r (self for padding rows), ``w[r, j]`` = the
-    symmetric gcn norm (0 on padding). The conv becomes
-    ``(x[idx] * w).sum(axis=1)`` — a dense gather + reduce with NO
+    symmetric gcn norm × any per-edge weight (0 on padding). The conv
+    becomes ``(x[idx] * w).sum(axis=1)`` — a dense gather + reduce with NO
     scatter in the forward (the reference round-trips scatter_add per
     layer, ``difformer-v2.py:30-46``).
 
-    Returns ``(idx [B*M, k] int32, w [B*M, k] f32)`` or ``None`` when the
-    batch is not k-in-regular (e.g. radius graphs — callers fall back to
-    the masked edge-list path).
+    Round 5 adds the TRANSPOSED (out-edge) table for a static-shape
+    backward: ``ridx[s, j]`` = j-th receiver fed by sender s, ``rw`` the
+    matching conv weights, padded to the batch's max out-degree (bounded:
+    a node is among the k nearest of O(k) centers on kNN data). With it,
+    ``ops.graph_ops.knn_table_conv`` runs gather+reduce in BOTH
+    directions — no take-VJP scatter in the backward.
+
+    Returns ``(idx [B*M, k] int32, w [B*M, k] f32, ridx [B*M, k_rev],
+    rw [B*M, k_rev])`` — ``ridx``/``rw`` are ``None`` when the max
+    out-degree exceeds ``max_k_rev`` (callers use the AD take-VJP path) —
+    or ``None`` when the batch is not k-in-regular (e.g. radius graphs —
+    callers fall back to the masked edge-list path).
     """
-    if batch.edge_weight is not None:
-        # the plan bakes only the symmetric gcn norm into w; per-edge
-        # weights would be silently dropped — decline, callers fall back
-        return None
     em = np.asarray(batch.edge_mask)
     recv = np.asarray(batch.receivers)[em]
     send = np.asarray(batch.senders)[em]
@@ -222,5 +228,29 @@ def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64):
     idx[real] = send.reshape(-1, k)
     inv_sqrt = np.zeros(n_pad, np.float32)
     inv_sqrt[deg > 0] = 1.0 / np.sqrt(deg[deg > 0])
-    w[real] = (inv_sqrt[send] * inv_sqrt[recv]).reshape(-1, k)
-    return idx, w
+    wvals = inv_sqrt[send] * inv_sqrt[recv]
+    if batch.edge_weight is not None:
+        wvals = wvals * np.asarray(batch.edge_weight)[em].astype(np.float32)
+    w[real] = wvals.reshape(-1, k)
+
+    odeg = np.bincount(send, minlength=n_pad)
+    k_rev = int(odeg.max(initial=0))
+    if k_rev == 0 or k_rev > max_k_rev:
+        return idx, w, None, None
+    # pad the reverse width to a caller-supplied DATASET-wide bound (jit
+    # compiles once across batches) — else to a lane-friendly multiple of 8
+    if k_rev_pad:
+        if k_rev > k_rev_pad:
+            return idx, w, None, None
+        k_rev = k_rev_pad
+    else:
+        k_rev = -(-k_rev // 8) * 8
+    order = np.argsort(send, kind="stable")
+    rs, rr = send[order], recv[order]
+    # slot of each edge within its sender group (senders sorted)
+    slot = np.arange(rs.size) - np.searchsorted(rs, rs)
+    ridx = np.arange(n_pad, dtype=np.int32)[:, None].repeat(k_rev, 1)
+    rw = np.zeros((n_pad, k_rev), np.float32)
+    ridx[rs, slot] = rr
+    rw[rs, slot] = wvals[order]
+    return idx, w, ridx, rw

@@ -99,11 +99,19 @@ class TransConvV2(nn.Module):
             if knn_table is not None:
                 # k-in-regular plan (data/batching.regular_knn_table):
                 # dense [B*M, k] gather + reduce — no scatter in the
-                # forward (the backward's take-vjp scatter remains)
-                idx, w = knn_table
-                g_flat = jnp.einsum(
-                    "rk,rkhd->rhd", w.astype(v_flat.dtype),
-                    jnp.take(v_flat, idx, axis=0))
+                # forward; with the transposed table the BACKWARD is a
+                # dense gather too (ops.graph_ops.knn_table_conv custom
+                # VJP, round 5) instead of the take-VJP scatter
+                idx, w, ridx, rw = (knn_table if len(knn_table) == 4
+                                    else (*knn_table, None, None))
+                if ridx is not None:
+                    from difformer_tpu.ops.graph_ops import knn_table_conv
+
+                    g_flat = knn_table_conv(v_flat, idx, w, ridx, rw)
+                else:
+                    g_flat = jnp.einsum(
+                        "rk,rkhd->rhd", w.astype(v_flat.dtype),
+                        jnp.take(v_flat, idx, axis=0))
             else:
                 g_flat = gcn_conv(
                     v_flat, senders, receivers, edge_weight,

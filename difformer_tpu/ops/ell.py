@@ -72,9 +72,11 @@ def _adaptive_ks(counts, *, min_bucket=8, max_buckets=6):
     pos = counts[counts > 0]
     if pos.size == 0:
         return [min_bucket]
-    # quantize widths to multiples of 8 (lane-friendly) — unless the caller
-    # asked for narrower buckets (the BSR residual uses min_bucket=4 for
-    # its low-degree sparse tail), in which case min_bucket is the quantum
+    # quantize widths to multiples of 8 (lane-friendly) — unless a caller
+    # asks for narrower buckets, in which case min_bucket is the quantum
+    # (the BSR residual passes min_bucket=8 since the round-4 on-chip A/B:
+    # a 4-quantum costs +10% conv time for no slot savings; the <8 branch
+    # stays for callers that want sub-8 quanta on tiny/sparse tails)
     mult = 8 if min_bucket >= 8 else max(min_bucket, 1)
     qs = np.linspace(0.0, 1.0, max_buckets + 1)[1:]
     ks = {max(min_bucket, int(np.quantile(pos, q))) for q in qs}

@@ -80,9 +80,15 @@ def fetch_to_host(a):
 
 
 def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
-    """Build ``fn(params, sharded_graph, rng=None, train=False) -> logits``
-    running under shard_map. ``model`` must be constructed with
-    ``axis_name=axis``. Returns logits stacked [S, N_loc, C]."""
+    """Build ``fn(params, sharded_graph, rng=None, train=False,
+    ell_tables=None) -> logits`` running under shard_map. ``model`` must be
+    constructed with ``axis_name=axis``. Returns logits stacked
+    [S, N_loc, C].
+
+    BSR tables can be bound two ways: ``ell=`` here closes over them (jit
+    constants — fine single-process), or ``ell_tables=`` at call time as
+    real (possibly process-spanning global) arrays — required under
+    multi-process, where a closure constant cannot span processes."""
 
     def body(params, x, node_mask, senders, receivers, edge_mask, edge_weight,
              halo, ell_op, rng, train):
@@ -117,7 +123,9 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
             ell=ell_op,
         )
 
-    def apply_fn(params, sg: ShardedGraph, rng=None, train=False):
+    def apply_fn(params, sg: ShardedGraph, rng=None, train=False,
+                 ell_tables=None):
+        ell_arg = ell if ell_tables is None else ell_tables
         ew = sg.edge_weight
         senders, halo = _senders_and_halo(sg)
         in_specs = (
@@ -130,8 +138,8 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
             P() if ew is None else P(axis),
             P() if halo is None
             else jax.tree_util.tree_map(lambda _: P(axis), halo),
-            P() if ell is None
-            else jax.tree_util.tree_map(lambda _: P(axis), ell),
+            P() if ell_arg is None
+            else jax.tree_util.tree_map(lambda _: P(axis), ell_arg),
             P(),            # rng
         )
         f = jax.shard_map(
@@ -142,7 +150,7 @@ def sharded_apply(model, mesh: Mesh, axis: str = GRAPH_AXIS, ell=None):
         )
         return f(
             params, sg.node_feat, sg.node_mask, senders, sg.receivers,
-            sg.edge_mask, ew, halo, ell, rng,
+            sg.edge_mask, ew, halo, ell_arg, rng,
         )
 
     return apply_fn
@@ -166,12 +174,18 @@ def _senders_and_halo(sg: ShardedGraph):
 
 
 def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
-                            axis: str = GRAPH_AXIS, ell=None):
-    """Jitted distributed train step over a ShardedGraph.
+                            axis: str = GRAPH_AXIS, ell=None,
+                            jit_step=True):
+    """Distributed train step over a ShardedGraph (jitted by default).
 
     loss_fn(logits_local, labels_local, mask_local) -> (sum_loss, count) so
     the global mean is psum(sum)/psum(count) — computed here.
-    """
+
+    ``ell=`` closes over BSR tables as jit constants (single-process);
+    ``step(..., ell_tables=...)`` takes them as real arrays instead —
+    required under multi-process (a closure constant cannot span
+    processes). ``jit_step=False`` returns the raw step for embedding in a
+    caller's ``lax.scan`` (the epoch-scanned distributed fit)."""
 
     def body(params, opt_state, x, node_mask, senders, receivers, edge_mask,
              edge_weight, halo, ell_op, labels, label_mask, rng):
@@ -206,7 +220,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def step(params, opt_state, sg: ShardedGraph, rng):
+    def step(params, opt_state, sg: ShardedGraph, rng, ell_tables=None):
+        ell_arg = ell if ell_tables is None else ell_tables
         ew = sg.edge_weight
         senders, halo = _senders_and_halo(sg)
         in_specs = (
@@ -215,8 +230,8 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
             P() if ew is None else P(axis),
             P() if halo is None
             else jax.tree_util.tree_map(lambda _: P(axis), halo),
-            P() if ell is None
-            else jax.tree_util.tree_map(lambda _: P(axis), ell),
+            P() if ell_arg is None
+            else jax.tree_util.tree_map(lambda _: P(axis), ell_arg),
             P(axis), P(axis), P(),
         )
         f = jax.shard_map(
@@ -225,8 +240,10 @@ def make_sharded_train_step(model, mesh: Mesh, tx, loss_fn,
         )
         return f(
             params, opt_state, sg.node_feat, sg.node_mask, senders,
-            sg.receivers, sg.edge_mask, ew, halo, ell, sg.labels,
+            sg.receivers, sg.edge_mask, ew, halo, ell_arg, sg.labels,
             sg.label_mask, rng,
         )
 
+    if not jit_step:
+        return step
     return jax.jit(step, donate_argnums=(0, 1))

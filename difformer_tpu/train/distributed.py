@@ -139,30 +139,34 @@ class DistributedTrainer:
         # inputs); each process then materializes only its addressable
         # shards of the global arrays (make_array_from_callback) — the real
         # multi-host construction path, exercised cross-process by
-        # tests/test_multiprocess.py.
+        # tests/test_multiprocess.py. BSR tables ride the same path: they
+        # are shard-local arrays (leading dim = n_shards) threaded through
+        # the step as real arguments, NOT jit constants — a closure
+        # constant cannot span processes.
         self._mp = jax.process_count() > 1
-        if self._mp:
-            if ell is not None:
-                raise NotImplementedError(
-                    "spmm='bsr' under multi-process: the BSR tables are "
-                    "closed over by the step (jit constants); use the halo "
-                    "path across processes")
-            from difformer_tpu.parallel.api import make_global_array_tree
+        from difformer_tpu.parallel.api import make_global_array_tree
 
+        if self._mp:
             self.sg = make_global_array_tree(self.sg, self.mesh)
+        self._ell = (None if ell is None
+                     else make_global_array_tree(ell, self.mesh))
         self.model = model
         self.init_model = init_model
         self.metric_name = metric
         self.metric_fn = METRICS[metric]
         self._eval_cache = None   # (split_key, masks_dev, labels_dev, jit)
+        self._block_cache = {}    # epoch-scanned fit blocks
         self.tx = torch_adam(lr, weight_decay)
         self.seed = seed
         loss_fn = _nll_sum if loss == "nll" else _bce_sum
-        self._step = make_sharded_train_step(model, self.mesh, self.tx,
-                                             loss_fn, ell=ell)
-        apply_fn = sharded_apply(model, self.mesh, ell=ell)
-        # jit ONCE (a fresh lambda per eval would retrace every epoch)
-        self._apply = jax.jit(lambda p, g: apply_fn(p, g))
+        self._step_raw = make_sharded_train_step(
+            model, self.mesh, self.tx, loss_fn, jit_step=False)
+        self._step = jax.jit(self._step_raw, donate_argnums=(0, 1))
+        self._apply_fn = sharded_apply(model, self.mesh)
+        # jit ONCE (a fresh lambda per eval would retrace every epoch);
+        # BSR instances must pass their tables (self._ell) explicitly
+        self._apply = jax.jit(
+            lambda p, g, e=None: self._apply_fn(p, g, ell_tables=e))
         self._x0 = np.asarray(node_feat, np.float32)
         self._ei0 = np.asarray(edge_index)
 
@@ -192,27 +196,45 @@ class DistributedTrainer:
             opt_state = make_global_array_tree(opt_state, self.mesh, spec=P())
         return params, opt_state
 
-    def _device_eval(self, out_dev, split_idx):
-        """On-device split metrics over the sharded logits — fetches only
-        [n_splits] scalars instead of the full [N, C] logits (which cost
-        seconds at headline scale through a remote-TPU tunnel and a full
-        cross-process allgather under multi-host). Covers single-label
-        'acc' and multilabel 'rocauc' (device_rocauc_tasks); other metrics
-        fall back to the host path. Labels and split masks are laid out
-        once in the padded shard order (via node_perm), so padding rows
-        never enter any mask."""
+    def _metric_device_fn(self):
+        """Device metric ``fn(out, labels, masks) -> [S]`` over the sharded
+        logits, or ``None`` when the metric/label shape has no device path.
+        Covers single-label 'acc' and multilabel 'rocauc'
+        (device_rocauc_tasks); other metrics use the host path."""
         le = self.labels_eval
-        acc_ok = self.metric_name == "acc" and (
-            le.ndim == 1 or le.shape[-1] == 1)
-        auc_ok = (self.metric_name == "rocauc" and le.ndim == 2
-                  and le.shape[-1] > 1)
-        if not (acc_ok or auc_ok):
-            return None
+        if self.metric_name == "acc" and (le.ndim == 1
+                                          or le.shape[-1] == 1):
+            def metric(out, labels, masks):
+                out = out.reshape(-1, out.shape[-1])
+                val = (jnp.argmax(out, -1) == labels).astype(jnp.float32)
+                m = masks.astype(jnp.float32)
+                return (m @ val) / jnp.maximum(m.sum(axis=1), 1.0)
+
+            return metric
+        if (self.metric_name == "rocauc" and le.ndim == 2
+                and le.shape[-1] > 1):
+            from difformer_tpu.utils.metrics import device_rocauc_tasks
+
+            def metric(out, labels, masks):
+                out = out.reshape(-1, out.shape[-1]).astype(jnp.float32)
+                return jnp.stack([
+                    device_rocauc_tasks(out, labels, masks[i])
+                    for i in range(masks.shape[0])
+                ])
+
+            return metric
+        return None
+
+    def _eval_tables(self, split_idx):
+        """(names, device split masks [S, n_pad], padded device labels) —
+        laid out once in the padded shard order (via node_perm) so padding
+        rows never enter any mask; cached by split content hash (splits
+        with equal first element/length must not silently reuse another
+        split's masks, e.g. rotated CV folds)."""
         import hashlib
 
+        le = self.labels_eval
         names = tuple(split_idx.keys())
-        # content hash: splits with equal first element/length must not
-        # silently reuse another split's masks (e.g. rotated CV folds)
         key = (names, tuple(
             hashlib.sha1(
                 np.ascontiguousarray(np.asarray(v, np.int64)).tobytes()
@@ -226,32 +248,12 @@ class DistributedTrainer:
             masks = np.zeros((len(names), n_pad), bool)
             for i, name in enumerate(names):
                 masks[i, pos[np.asarray(split_idx[name])]] = True
-            if acc_ok:
+            if self.metric_name == "acc":
                 lp = np.zeros((n_pad,), np.int32)
                 lp[pos] = le.reshape(n, -1)[:, 0].astype(np.int32)
-
-                def metric(out, labels, masks):
-                    import jax.numpy as jnp
-
-                    out = out.reshape(-1, out.shape[-1])
-                    val = (jnp.argmax(out, -1) == labels).astype(
-                        jnp.float32)
-                    m = masks.astype(jnp.float32)
-                    return (m @ val) / jnp.maximum(m.sum(axis=1), 1.0)
             else:
-                from difformer_tpu.utils.metrics import device_rocauc_tasks
-
                 lp = np.zeros((n_pad, le.shape[1]), np.float32)
                 lp[pos] = le.astype(np.float32)
-
-                def metric(out, labels, masks):
-                    import jax.numpy as jnp
-
-                    out = out.reshape(-1, out.shape[-1]).astype(jnp.float32)
-                    return jnp.stack([
-                        device_rocauc_tasks(out, labels, masks[i])
-                        for i in range(masks.shape[0])
-                    ])
 
             # device-resident cache: numpy leaves here would re-upload the
             # [n_pad, T] label matrix (~58 MB at proteins scale) on every
@@ -267,20 +269,30 @@ class DistributedTrainer:
                 masks_dev, lp_dev = make_global_array_tree(
                     (masks, lp), self.mesh, spec=P())
             else:
-                import jax.numpy as jnp
-
                 masks_dev, lp_dev = jnp.asarray(masks), jnp.asarray(lp)
-            self._eval_cache = (key, masks_dev, lp_dev, jax.jit(metric))
+            self._eval_cache = (key, masks_dev, lp_dev)
+        return (names,) + self._eval_cache[1:]
+
+    def _device_eval(self, out_dev, split_idx):
+        """On-device split metrics over the sharded logits — fetches only
+        [n_splits] scalars instead of the full [N, C] logits (which cost
+        seconds at headline scale through a remote-TPU tunnel and a full
+        cross-process allgather under multi-host)."""
+        metric = self._metric_device_fn()
+        if metric is None:
+            return None
+        names, masks, lp = self._eval_tables(split_idx)
+        if "metric" not in self._block_cache:
+            self._block_cache["metric"] = jax.jit(metric)
         from difformer_tpu.parallel.api import fetch_to_host
 
-        _, masks, lp, metric_jit = self._eval_cache
-        vals = fetch_to_host(metric_jit(out_dev, lp, masks))
+        vals = fetch_to_host(self._block_cache["metric"](out_dev, lp, masks))
         return dict(zip(names, map(float, vals)))
 
     def evaluate(self, params, split_idx):
         from difformer_tpu.parallel.api import fetch_to_host
 
-        out_dev = self._apply(params, self.sg)
+        out_dev = self._apply(params, self.sg, self._ell)
         res = self._device_eval(out_dev, split_idx)
         if res is not None:
             return res
@@ -296,9 +308,133 @@ class DistributedTrainer:
             for name, idx in split_idx.items()
         }
 
+    # -- epoch-scanned fast path (round 5) -----------------------------------
+    # Same recipe as FullBatchTrainer: the per-epoch loop pays one dispatch
+    # per train step plus a per-epoch eval round-trip; the scanned path runs
+    # `epoch_block` epochs in ONE jitted lax.scan — shard_map composes with
+    # scan, so the collectives compile into the loop body — with split
+    # metrics computed on device and only [B, 1+S] scalars fetched per
+    # block. Eval placement is STATIC (after the first epoch of each
+    # eval_step group), matching the per-epoch loop's
+    # `epoch % eval_step == 0` schedule.
+
+    def _fit_block(self, groups, eval_step):
+        key = ("block", groups, eval_step)
+        if key not in self._block_cache:
+            metric = self._metric_device_fn()
+
+            def block(params, opt_state, rng, sg, ell_tables, masks,
+                      labels):
+                def body(carry, _):
+                    params, opt_state, rng = carry
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, loss = self._step_raw(
+                        params, opt_state, sg, sk, ell_tables)
+                    return (params, opt_state, rng), loss
+
+                def group(carry, _):
+                    carry, loss0 = body(carry, None)
+                    params, opt_state, rng = carry
+                    out = self._apply_fn(params, sg, ell_tables=ell_tables)
+                    mets = metric(out, labels, masks)
+                    carry, losses = jax.lax.scan(
+                        body, carry, None, length=eval_step - 1)
+                    return carry, (
+                        jnp.concatenate([loss0[None], losses]), mets)
+
+                (params, opt_state, rng), (losses, metrics) = jax.lax.scan(
+                    group, (params, opt_state, rng), None, length=groups)
+                return params, opt_state, rng, losses.reshape(-1), metrics
+
+            self._block_cache[key] = jax.jit(block, donate_argnums=(0, 1))
+        return self._block_cache[key]
+
+    def _fit_noeval_block(self, length):
+        key = ("noeval", length)
+        if key not in self._block_cache:
+            def block(params, opt_state, rng, sg, ell_tables):
+                def body(carry, _):
+                    params, opt_state, rng = carry
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, loss = self._step_raw(
+                        params, opt_state, sg, sk, ell_tables)
+                    return (params, opt_state, rng), loss
+
+                (params, opt_state, rng), losses = jax.lax.scan(
+                    body, (params, opt_state, rng), None, length=length)
+                return params, opt_state, rng, losses
+
+            self._block_cache[key] = jax.jit(block, donate_argnums=(0, 1))
+        return self._block_cache[key]
+
+    def _fit_run_scanned(self, run, split_idx, *, epochs, epoch_block,
+                         eval_step, logger, verbose, display_step):
+        from difformer_tpu.parallel.api import fetch_to_host
+
+        names, masks, labels = self._eval_tables(split_idx)
+        params, opt_state = self.init_state(run)
+        rng = np.asarray(jax.random.PRNGKey(1000 + self.seed + run))
+        best = {"valid": -np.inf, "test": 0.0, "train": 0.0, "epoch": -1}
+
+        def take(e, res, loss):
+            nonlocal best
+            if logger is not None:
+                logger.add_result(
+                    run, (res["train"], res["valid"], res["test"]))
+            if res["valid"] > best["valid"]:
+                best = {**res, "epoch": e}
+            if verbose and e % display_step == 0:
+                print(f"run {run} epoch {e}: loss {loss:.4f} {res}")
+
+        epoch = 0
+        last_eval = -1
+        losses = np.full((1,), np.nan)
+        if eval_step < epochs:
+            groups = max(1, epoch_block // eval_step)
+            L = groups * eval_step
+            blk = self._fit_block(groups, eval_step)
+            while epoch + L <= epochs:
+                params, opt_state, rng, losses, metrics = blk(
+                    params, opt_state, rng, self.sg, self._ell, masks,
+                    labels)
+                losses = np.asarray(fetch_to_host(losses))
+                metrics = np.asarray(fetch_to_host(metrics))
+                for gi in range(groups):
+                    e = epoch + gi * eval_step
+                    take(e, dict(zip(names, map(float, metrics[gi]))),
+                         losses[gi * eval_step])
+                    last_eval = e
+                epoch += L
+        else:
+            blk = self._fit_noeval_block(epoch_block)
+            while epoch + epoch_block <= epochs:
+                params, opt_state, rng, losses = blk(
+                    params, opt_state, rng, self.sg, self._ell)
+                epoch += epoch_block
+            losses = np.asarray(fetch_to_host(losses))
+        # remainder via the per-epoch path — same rng stream
+        while epoch < epochs:
+            rng_dev = jnp.asarray(rng)
+            rng_dev, sk = jax.random.split(rng_dev)
+            rng = np.asarray(rng_dev)
+            params, opt_state, loss = self._step(
+                params, opt_state, self.sg, np.asarray(sk), self._ell)
+            if epoch % eval_step == 0 or epoch == epochs - 1:
+                take(epoch, self.evaluate(params, split_idx), float(loss))
+                last_eval = epoch
+            epoch += 1
+        if last_eval != epochs - 1 and (epochs - 1) % eval_step != 0:
+            # forced final-epoch eval (reference main.py:133) when the
+            # scanned blocks covered the final epoch off-boundary
+            out = self._apply(params, self.sg, self._ell)
+            take(epochs - 1, self._device_eval(out, split_idx),
+                 float(losses[-1]))
+        return best
+
     def fit(self, split_idx, *, epochs=100, runs=1, eval_step=1,
             verbose=False, display_step=50, logger=None,
-            ckpt_dir="", checkpoint_every=0, resume=False):
+            ckpt_dir="", checkpoint_every=0, resume=False,
+            epoch_block=8):
         """``ckpt_dir`` + ``checkpoint_every=N`` writes a full training
         checkpoint (params, optimizer state, rng, best-val scalar) every N
         epochs via orbax, and ``resume=True`` continues from the latest one
@@ -307,8 +443,24 @@ class DistributedTrainer:
         deterministic resume are the minimum failure-recovery story, and
         they matter most on the multi-chip path). Params/opt state are
         replicated across the mesh, so the checkpoint is mesh-shape
-        independent."""
+        independent.
+
+        ``epoch_block > 1`` takes the epoch-scanned fast path (one jitted
+        dispatch per block, on-device eval metrics) when no checkpointing
+        is requested and the metric has a device formulation; the per-epoch
+        loop below is the fallback (and the checkpointing path)."""
+        scan_ok = (epoch_block and epoch_block > 1
+                   and not (ckpt_dir and checkpoint_every > 0)
+                   and not resume
+                   and self._metric_device_fn() is not None)
         summaries = []
+        if scan_ok:
+            for run in range(runs):
+                summaries.append(self._fit_run_scanned(
+                    run, split_idx, epochs=epochs, epoch_block=epoch_block,
+                    eval_step=eval_step, logger=logger, verbose=verbose,
+                    display_step=display_step))
+            return summaries
         for run in range(runs):
             params, opt_state = self.init_state(run)
             rng = jax.random.PRNGKey(1000 + self.seed + run)
@@ -353,7 +505,7 @@ class DistributedTrainer:
                 # replicated-by-assumption; a single-device committed key
                 # array would conflict with the mesh placement
                 params, opt_state, loss = self._step(
-                    params, opt_state, self.sg, np.asarray(sk)
+                    params, opt_state, self.sg, np.asarray(sk), self._ell
                 )
                 if epoch % eval_step == 0 or epoch == epochs - 1:
                     res = self.evaluate(params, split_idx)

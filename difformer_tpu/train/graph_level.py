@@ -48,6 +48,13 @@ class GraphLevelTrainer:
             np.all(np.diff(np.asarray(g[1][1], np.int64)) >= 0)
             for g in dataset
         )
+        # dataset-wide max out-degree, rounded up to a lane-friendly
+        # multiple of 8: the static reverse-table width for the
+        # scatter-free backward (knn_table_conv) — per-batch widths would
+        # retrace the step every batch
+        k_rev = max((int(np.bincount(np.asarray(g[1][0])).max(initial=0))
+                     for g in dataset if g[1].shape[1]), default=0)
+        self._k_rev_pad = -(-k_rev // 8) * 8 if k_rev else 0
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._fwd = jax.jit(self._fwd_impl)
         self._knn_mode = None   # probe on first batch (k-in-regular plan)
@@ -94,12 +101,13 @@ class GraphLevelTrainer:
             # turns the probe off for good (one retrace at most)
             from difformer_tpu.data.batching import regular_knn_table
 
-            t = regular_knn_table(batch)
+            t = regular_knn_table(batch, k_rev_pad=self._k_rev_pad)
             if t is None:
                 self._knn_mode = False
             else:
                 self._knn_mode = True
-                d["knn_table"] = (jnp.asarray(t[0]), jnp.asarray(t[1]))
+                d["knn_table"] = tuple(
+                    jnp.asarray(a) if a is not None else None for a in t)
         return d
 
     def init_state(self, run=0):

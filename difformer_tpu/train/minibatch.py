@@ -307,35 +307,37 @@ class MiniBatchTrainer:
                 ex = ThreadPoolExecutor(1)
                 fut = ex.submit(self._host_chunks, rng_np.permutation(self.n),
                                 max_chunk_edges)
-            for epoch in range(epochs):
-                if self.use_scan:
-                    plan = fut.result()
-                    if epoch + 1 < epochs:
-                        fut = ex.submit(self._host_chunks,
-                                        rng_np.permutation(self.n),
-                                        max_chunk_edges)
-                    params, opt_state, loss, rng_key = self._epoch_scan(
-                        params, opt_state, None, rng_key, max_chunk_edges,
-                        plan=plan)
-                else:
-                    params, opt_state, loss, rng_key = self._epoch(
-                        params, opt_state, rng_np, rng_key, max_chunk_edges
-                    )
-                if epoch % eval_step == 0 or epoch == epochs - 1:
-                    res, _ = self.evaluate(params, split_idx)
-                    if logger is not None:
-                        logger.add_result(
-                            run, (res["train"], res["valid"], res["test"])
+            try:
+                for epoch in range(epochs):
+                    if self.use_scan:
+                        plan = fut.result()
+                        if epoch + 1 < epochs:
+                            fut = ex.submit(self._host_chunks,
+                                            rng_np.permutation(self.n),
+                                            max_chunk_edges)
+                        params, opt_state, loss, rng_key = self._epoch_scan(
+                            params, opt_state, None, rng_key, max_chunk_edges,
+                            plan=plan)
+                    else:
+                        params, opt_state, loss, rng_key = self._epoch(
+                            params, opt_state, rng_np, rng_key, max_chunk_edges
                         )
-                    if res["valid"] > best["valid"]:
-                        best = {**res, "epoch": epoch,
-                                "params": jax.tree_util.tree_map(
-                                    np.asarray, params)}
-                    if verbose:
-                        print(f"run {run} epoch {epoch}: loss {loss:.4f} "
-                              f"{res}")
-            if ex is not None:
-                ex.shutdown(wait=False)
+                    if epoch % eval_step == 0 or epoch == epochs - 1:
+                        res, _ = self.evaluate(params, split_idx)
+                        if logger is not None:
+                            logger.add_result(
+                                run, (res["train"], res["valid"], res["test"])
+                            )
+                        if res["valid"] > best["valid"]:
+                            best = {**res, "epoch": epoch,
+                                    "params": jax.tree_util.tree_map(
+                                        np.asarray, params)}
+                        if verbose:
+                            print(f"run {run} epoch {epoch}: loss {loss:.4f} "
+                                  f"{res}")
+            finally:
+                if ex is not None:
+                    ex.shutdown(wait=False)
             summaries.append(best)
         return summaries
 

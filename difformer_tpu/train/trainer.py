@@ -422,9 +422,11 @@ class FullBatchTrainer:
         if last_eval != epochs - 1 and (epochs - 1) % eval_step != 0:
             # scanned blocks covered the final epoch but its forced eval
             # (reference main.py:133: every epoch incl. the last under
-            # eval_step gating) was not an eval_step boundary
+            # eval_step gating) was not an eval_step boundary; the final
+            # epoch's loss is the tail of the last block's losses array
             take(epochs - 1, self._eval_state_device(state, split_masks,
-                                                     names), float("nan"))
+                                                     names),
+                 float(np.asarray(losses)[-1]))
         return best
 
     def _eval_state_device(self, state, split_masks, names):

@@ -50,7 +50,7 @@ def test_distributed_trainer_bsr_matches_halo():
     # identical params → identical logits (up to fp reassociation)
     params, _ = tr_halo.init_state(0)
     out_h = np.asarray(tr_halo._apply(params, tr_halo.sg))
-    out_b = np.asarray(tr_bsr._apply(params, tr_bsr.sg))
+    out_b = np.asarray(tr_bsr._apply(params, tr_bsr.sg, tr_bsr._ell))
     out_h = out_h.reshape(-1, c)[:n]
     out_b = out_b.reshape(-1, c)[:n]
     np.testing.assert_allclose(out_b, out_h, rtol=2e-4, atol=2e-5)
@@ -156,3 +156,40 @@ def test_distributed_device_eval_matches_host():
         for name, idx in split.items():
             want = tr.metric_fn(y[np.asarray(idx)], out[np.asarray(idx)])
             np.testing.assert_allclose(res_dev[name], want, atol=1e-6)
+
+
+def test_distributed_scanned_fit_matches_loop():
+    """round 5: DistributedTrainer's epoch-scanned fast path (one jitted
+    lax.scan per block, on-device eval) produces the same per-epoch
+    logger rows and best summary as the per-epoch dispatch loop."""
+    from difformer_tpu.utils.logger import RunLogger
+
+    n, c = 160, 3
+    x, ei, y = random_graph(n, 700, 10, c, seed=24, homophily=0.85)
+    ei = standard_preprocess(ei, n)
+    split = rand_train_test_idx(y, 0.5, 0.25, rng=0)
+    train_mask = idx_to_mask(split["train"], n)
+
+    def make():
+        model = DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                          dropout=0.0, axis_name="graph")
+        init_model = DIFFormer(hidden_channels=16, out_channels=c,
+                               num_layers=2, dropout=0.0)
+        return DistributedTrainer(model, init_model, x, ei, y,
+                                  train_mask=train_mask, lr=1e-2,
+                                  loss="nll")
+
+    # epochs=11, eval_step=2, epoch_block=4 exercises: scanned groups,
+    # the trailing per-epoch remainder, and the forced final-epoch eval
+    log_a, log_b = RunLogger(1), RunLogger(1)
+    res_a = make().fit(split, epochs=11, eval_step=2, epoch_block=4,
+                       logger=log_a)
+    res_b = make().fit(split, epochs=11, eval_step=2, epoch_block=0,
+                       logger=log_b)
+    assert len(log_a.results[0]) == len(log_b.results[0])
+    np.testing.assert_allclose(
+        np.asarray(log_a.results[0]), np.asarray(log_b.results[0]),
+        rtol=1e-5, atol=1e-6)
+    for k in ("train", "valid", "test", "epoch"):
+        np.testing.assert_allclose(res_a[0][k], res_b[0][k],
+                                   rtol=1e-5, atol=1e-6)

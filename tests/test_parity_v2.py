@@ -143,7 +143,8 @@ def test_v2_knn_table_conv_matches_edge_list(rng):
     batch = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
     t = regular_knn_table(batch)
     assert t is not None
-    idx, w = t
+    idx, w, ridx, rw = t
+    assert ridx is not None and rw is not None
 
     model = DIFFormerV2(hidden_channels=16, out_channels=4, num_layers=2,
                         dropout=0.0)
@@ -153,12 +154,76 @@ def test_v2_knn_table_conv_matches_edge_list(rng):
             jnp.asarray(batch.edge_mask))
     params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
     out_e = model.apply({"params": params}, *args, train=False)
+    table4 = tuple(jnp.asarray(a) for a in t)
     out_k = model.apply({"params": params}, *args, train=False,
-                        knn_table=(jnp.asarray(idx), jnp.asarray(w)))
+                        knn_table=table4)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_e),
                                rtol=1e-5, atol=1e-5)
 
+    # gradient parity: the static-shape reverse-table backward
+    # (knn_table_conv custom VJP) equals AD through the edge-list path
+    def loss_e(p):
+        return jnp.sum(model.apply({"params": p}, *args, train=False) ** 2)
+
+    def loss_k(p):
+        return jnp.sum(model.apply({"params": p}, *args, train=False,
+                                   knn_table=table4) ** 2)
+
+    g_e = jax.grad(loss_e)(params)
+    g_k = jax.grad(loss_k)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_e),
+                    jax.tree_util.tree_leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
     # non-regular batch (drop an edge) -> builder declines
-    eis[0] = eis[0][:, :-1]
-    b2 = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
+    eis_bad = [e.copy() for e in eis]
+    eis_bad[0] = eis_bad[0][:, :-1]
+    b2 = pad_graph_batch(xs, eis_bad, [0.0, 1.0, 0.0])
     assert regular_knn_table(b2) is None
+
+
+def test_knn_table_conv_weighted_and_vjp(rng):
+    """round 5: the table plan accepts per-edge weights (baked into w/rw)
+    and knn_table_conv's custom VJP equals the take-VJP scatter backward
+    on the raw op."""
+    import jax
+
+    from difformer_tpu.data.batching import regular_knn_table
+    from difformer_tpu.data.transforms import knn_graph
+    from difformer_tpu.ops.graph_ops import gcn_conv, knn_table_conv
+
+    xs, eis, ews = [], [], []
+    for n in (9, 14, 11):
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        xs.append(rng.normal(size=(n, 6)).astype(np.float32))
+        ei = knn_graph(pos, 4, include_self=True)
+        eis.append(ei)
+        ews.append(rng.uniform(0.5, 1.5, ei.shape[1]).astype(np.float32))
+    batch = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0], edge_weights=ews)
+    t = regular_knn_table(batch, k_rev_pad=24)
+    assert t is not None and t[2] is not None
+    idx, w, ridx, rw = (jnp.asarray(a) for a in t)
+    assert ridx.shape[1] == 24      # padded to the caller's static bound
+
+    B, M = batch.node_feat.shape[:2]
+    v = jnp.asarray(
+        rng.normal(size=(B * M, 2, 5)).astype(np.float32))
+
+    out_t = knn_table_conv(v, idx, w, ridx, rw)
+    out_e = gcn_conv(v, jnp.asarray(batch.senders),
+                     jnp.asarray(batch.receivers),
+                     jnp.asarray(batch.edge_weight),
+                     num_nodes=B * M, edge_mask=jnp.asarray(batch.edge_mask))
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
+                               rtol=1e-5, atol=1e-5)
+
+    # VJP parity vs plain AD through the forward einsum (take-VJP scatter)
+    def fwd_ad(v):
+        return jnp.einsum("rk,rkhd->rhd", w, jnp.take(v, idx, axis=0))
+
+    dg = jnp.asarray(rng.normal(size=out_t.shape).astype(np.float32))
+    dv_t = jax.vjp(lambda v: knn_table_conv(v, idx, w, ridx, rw), v)[1](dg)[0]
+    dv_a = jax.vjp(fwd_ad, v)[1](dg)[0]
+    np.testing.assert_allclose(np.asarray(dv_t), np.asarray(dv_a),
+                               rtol=1e-5, atol=1e-5)
