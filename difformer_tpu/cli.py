@@ -38,6 +38,7 @@ def parse_method(cfg: Config, n_nodes: int, n_classes: int):
             graph_weight=cfg.graph_weight, use_source=cfg.use_source,
             axis_name="graph" if cfg.n_shards > 1 else None,
             spmm_first=cfg.spmm_first,
+            fuse_head_mean=cfg.fuse_head_mean,
         )
     common = dict(hidden_channels=cfg.hidden_channels,
                   out_channels=n_classes, num_layers=cfg.num_layers,
@@ -399,7 +400,7 @@ def build_parser():
     p = argparse.ArgumentParser(description="difformer_tpu unified CLI")
     for f in dataclasses.fields(Config):
         arg = "--" + f.name
-        if f.name == "spmm_first":
+        if f.name in ("spmm_first", "fuse_head_mean"):
             p.add_argument(arg, type=_tri_state, default=None)
         elif f.type == "bool" or isinstance(f.default, bool):
             p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),

@@ -59,12 +59,89 @@ def simple_attention_aggregates(ks, vs, key_mask=None):
     return kv, k_sum, v_sum, count
 
 
+def simple_attention_head_mean_factored(qs, ks, x, w, b, *, key_mask=None,
+                                        num_queries=None, axis_name=None):
+    """Head-mean DIFFormer-s attention with the value projection FACTORED
+    through the key aggregates (round 5).
+
+    Equivalent to ``simple_attention(qs, ks, (x @ w + b), head_mean=True)``
+    up to float reassociation, but the [N, H, D] value tensor never
+    exists:
+
+        kv[h,m,d] = Σ_l k[l,h,m]·(x[l]·W_h + b_h)[d]
+                  = (Σ_l k[l,h,m]·x[l,f])·W[f,h,d] + k_sum[h,m]·b[h,d]
+        Σv[h,d]   = (Σ_l x[l])·W_h + count·b_h
+
+    so the only large contractions read k and x directly ([H·M, N] @
+    [N, F]) — same FLOPs as the kv einsum, two fewer [N, H, D] HBM passes
+    in the forward and no [N, H, D] value cotangent in the backward. The
+    Frobenius scalars fold onto the small aggregates as in
+    ``simple_attention(head_mean=True)``.
+
+    qs/ks: [N, H, M]; x: [N, F]; w: [F, H, D]; b: [H, D] or None.
+    Returns [N, D] (the head-averaged output).
+    """
+    if key_mask is not None:
+        m = key_mask.astype(qs.dtype)[:, None, None]
+        ks = ks * m
+        if qs.shape[0] == ks.shape[0]:
+            qs = qs * m
+        x = x * key_mask.astype(x.dtype)[:, None]
+        count = jnp.sum(key_mask.astype(jnp.float32))
+    else:
+        count = jnp.float32(ks.shape[0])
+    sumsq_q = jnp.sum(jnp.square(qs.astype(jnp.float32)))
+    sumsq_k = jnp.sum(jnp.square(ks.astype(jnp.float32)))
+    kx = jnp.einsum("lhm,lf->hmf", ks, x)             # [H, M, F]
+    k_sum = jnp.sum(ks, axis=0)                       # [H, M]
+    x_sum = jnp.sum(x, axis=0)                        # [F]
+    if axis_name is not None:
+        sumsq_q = jax.lax.psum(sumsq_q, axis_name)
+        sumsq_k = jax.lax.psum(sumsq_k, axis_name)
+        kx = jax.lax.psum(kx, axis_name)
+        k_sum = jax.lax.psum(k_sum, axis_name)
+        x_sum = jax.lax.psum(x_sum, axis_name)
+        # count feeds BOTH the +N denominator default and v_sum's bias
+        # term (count·b) — it must be the global key count
+        count = jax.lax.psum(count, axis_name)
+    if num_queries is None:
+        num_queries = count if axis_name is not None else qs.shape[0]
+    inv_scale = jax.lax.rsqrt(sumsq_q) * jax.lax.rsqrt(sumsq_k)
+
+    w = w.astype(qs.dtype)
+    kv = jnp.einsum("hmf,fhd->hmd", kx, w)
+    v_sum = jnp.einsum("f,fhd->hd", x_sum.astype(qs.dtype), w)
+    if b is not None:
+        b = b.astype(qs.dtype)
+        kv = kv + k_sum[..., None] * b[:, None, :]
+        v_sum = v_sum + count.astype(qs.dtype) * b
+    kv = (kv.astype(jnp.float32) * inv_scale).astype(qs.dtype)
+    k_sum = (k_sum.astype(jnp.float32) * inv_scale).astype(qs.dtype)
+
+    h = qs.shape[1]
+    denominator = jnp.einsum("nhm,hm->nh", qs, k_sum) + jnp.asarray(
+        num_queries, dtype=qs.dtype)
+    inv_den = 1.0 / denominator
+    q_scaled = qs * inv_den[..., None]
+    return (jnp.einsum("nhm,hmd->nd", q_scaled, kv)
+            + inv_den @ v_sum) / h
+
+
 def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
-                     output_attn=False, axis_name=None):
+                     output_attn=False, axis_name=None, head_mean=False):
     """DIFFormer-s attention. qs: [N,H,M], ks: [L,H,M], vs: [L,H,D] → [N,H,D].
 
     ``num_queries`` overrides the ``+N`` denominator term (the reference uses
     the query count, ``difformer.py:38``).
+
+    ``head_mean=True`` returns the head-averaged output [N, D] directly
+    (the model's ``final_output.mean(dim=1)``, difformer.py:130) WITHOUT
+    materializing the [N, H, D] per-head output: each head's division by
+    its own denominator is kept exactly (q is pre-scaled by 1/den per
+    head), then the h and m axes contract in ONE [N, H·M] @ [H·M, D]
+    matmul. Saves two full [N, H, D] HBM passes per layer at H=8 (the
+    round-4 clustered-H=8 roofline gap); differs from mean-after-divide
+    only by float reassociation (equivalence-tested).
 
     ``axis_name``: when running node-sharded under ``shard_map``, the name of
     the mesh axis nodes are sharded over. The global attention then costs
@@ -82,6 +159,38 @@ def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
         ks = ks * m
         if qs.shape[0] == ks.shape[0]:  # queries==keys in all model paths
             qs = qs * m
+    if head_mean and not output_attn:
+        # scalar-fold form: q/k are never materialized in normalized form
+        # — the 1/(||q||_F·||k||_F) scalar rides on the SMALL aggregates
+        # ([H,M,D], [H,M]) instead of two extra [N,H,M] HBM passes. Same
+        # math as normalize-then-contract up to float reassociation.
+        sumsq_q = jnp.sum(jnp.square(qs.astype(jnp.float32)))
+        sumsq_k = jnp.sum(jnp.square(ks.astype(jnp.float32)))
+        if axis_name is not None:
+            sumsq_q = jax.lax.psum(sumsq_q, axis_name)
+            sumsq_k = jax.lax.psum(sumsq_k, axis_name)
+        inv_scale = jax.lax.rsqrt(sumsq_q) * jax.lax.rsqrt(sumsq_k)
+
+        kv, k_sum, v_sum, count = simple_attention_aggregates(ks, vs,
+                                                              key_mask)
+        if axis_name is not None:
+            kv = jax.lax.psum(kv, axis_name)
+            k_sum = jax.lax.psum(k_sum, axis_name)
+            v_sum = jax.lax.psum(v_sum, axis_name)
+            if num_queries is None:
+                num_queries = jax.lax.psum(count, axis_name)
+        if num_queries is None:
+            num_queries = qs.shape[0]
+        kv = (kv.astype(jnp.float32) * inv_scale).astype(qs.dtype)
+        k_sum = (k_sum.astype(jnp.float32) * inv_scale).astype(qs.dtype)
+
+        h = qs.shape[1]
+        denominator = jnp.einsum("nhm,hm->nh", qs, k_sum) + jnp.asarray(
+            num_queries, dtype=qs.dtype)
+        inv_den = 1.0 / denominator                       # [N, H]
+        q_scaled = qs * inv_den[..., None]                # fused into the dot
+        return (jnp.einsum("nhm,hmd->nd", q_scaled, kv)
+                + inv_den @ v_sum) / h
     qs = _frobenius_normalize(qs, axis_name)
     ks = _frobenius_normalize(ks, axis_name)
 
@@ -96,10 +205,10 @@ def simple_attention(qs, ks, vs, *, key_mask=None, num_queries=None,
     if num_queries is None:
         num_queries = qs.shape[0]
 
-    numerator = jnp.einsum("nhm,hmd->nhd", qs, kv) + v_sum[None, :, :]
     denominator = jnp.einsum("nhm,hm->nh", qs, k_sum) + jnp.asarray(
         num_queries, dtype=qs.dtype
     )
+    numerator = jnp.einsum("nhm,hmd->nhd", qs, kv) + v_sum[None, :, :]
     out = numerator / denominator[..., None]
 
     if output_attn:

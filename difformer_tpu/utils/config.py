@@ -119,6 +119,15 @@ class Config:
     #                                 reassociation only (equivalence tested,
     #                                 tests/test_models.py); pass False for
     #                                 exact reference order
+    fuse_head_mean: object = "auto"  # head-mean folded into the attention
+    #                                 contraction + linear GCN branch (no
+    #                                 [N,H,D] branch outputs; value factored
+    #                                 through the key aggregates — round 5,
+    #                                 1.35x at the clustered H=8 headline).
+    #                                 "auto" fuses at H>1; H=1 keeps exact
+    #                                 reference order. Float-reassociation
+    #                                 deviation only (equivalence tested);
+    #                                 pass false for reference order.
     epoch_block: int = 8            # full-batch trainer: epochs per jitted
     #                                 lax.scan block (device-side eval; falls
     #                                 back to the per-epoch loop when the run

@@ -259,3 +259,90 @@ def test_cli_spmm_first_tri_state():
     assert p.parse_args(["--spmm_first", "false"]).spmm_first is False
     assert p.parse_args(["--spmm_first", "true"]).spmm_first is True
     assert p.parse_args([]).spmm_first is None
+
+
+def test_fuse_head_mean_matches_unfused(rng):
+    """round 5: fuse_head_mean=True (head-mean folded into the attention
+    contraction and the linear GCN branch — no [N, H, D] branch outputs)
+    equals the reference order (mean after stacking heads) up to float
+    reassociation — outputs and gradients, across spmm_first x ELL x
+    graph_weight x use_source."""
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.nn import DIFFormer
+    from difformer_tpu.ops.ell import build_ell_gcn
+
+    n, e, f, c, h = 96, 700, 16, 5, 4
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    xs = jnp.asarray(x)
+    sj, rj = jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32)
+
+    for kwargs in (dict(), dict(spmm_first=True), dict(graph_weight=0.3),
+                   dict(use_source=True), dict(use_graph=False)):
+        def build(fuse):
+            return DIFFormer(hidden_channels=16, out_channels=c,
+                             num_layers=2, num_heads=h, dropout=0.0,
+                             fuse_head_mean=fuse, **kwargs)
+
+        m0, m1 = build(False), build(True)
+        params = m0.init(jax.random.PRNGKey(0), xs, sj, rj,
+                         train=False)["params"]
+        ells = ((None, build_ell_gcn(s, r, n))
+                if kwargs.get("use_graph", True) and "spmm_first" not in
+                kwargs else (None,))
+        for ell in ells:
+            out0 = m0.apply({"params": params}, xs, sj, rj, train=False,
+                            ell=ell)
+            out1 = m1.apply({"params": params}, xs, sj, rj, train=False,
+                            ell=ell)
+            np.testing.assert_allclose(out1, out0, rtol=2e-4, atol=2e-5,
+                                       err_msg=str(kwargs))
+
+            def loss(p, m, ell=ell):
+                return jnp.sum(m.apply({"params": p}, xs, sj, rj,
+                                       train=False, ell=ell) ** 2)
+
+            g0 = jax.grad(loss)(params, m0)
+            g1 = jax.grad(loss)(params, m1)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, b, rtol=5e-3, atol=5e-4), g0, g1)
+
+
+def test_fuse_head_mean_auto_policy(rng):
+    """'auto' keeps H=1 bit-identical to the unfused reference order and
+    fuses at H>1."""
+    import jax
+    import jax.numpy as jnp
+
+    from difformer_tpu.nn import DIFFormer
+
+    n, e, c = 96, 700, 5
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    xs = jnp.asarray(x)
+    sj, rj = jnp.asarray(s, jnp.int32), jnp.asarray(r, jnp.int32)
+
+    def build(h, fuse):
+        return DIFFormer(hidden_channels=16, out_channels=c, num_layers=2,
+                         num_heads=h, dropout=0.0, fuse_head_mean=fuse)
+
+    # H=1: auto == off bitwise
+    m_auto, m_off = build(1, "auto"), build(1, False)
+    params = m_auto.init(jax.random.PRNGKey(0), xs, sj, rj,
+                         train=False)["params"]
+    a = np.asarray(m_auto.apply({"params": params}, xs, sj, rj, train=False))
+    b = np.asarray(m_off.apply({"params": params}, xs, sj, rj, train=False))
+    assert (a == b).all()
+
+    # H=4: auto == on bitwise
+    m_auto, m_on = build(4, "auto"), build(4, True)
+    params = m_auto.init(jax.random.PRNGKey(0), xs, sj, rj,
+                         train=False)["params"]
+    a = np.asarray(m_auto.apply({"params": params}, xs, sj, rj, train=False))
+    b = np.asarray(m_on.apply({"params": params}, xs, sj, rj, train=False))
+    assert (a == b).all()
