@@ -189,7 +189,8 @@ def _real_edges(ell_graph):
 
 
 def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
-                     in_feat, hidden, out_ch, step_ms, row_width=None):
+                     in_feat, hidden, out_ch, step_ms, row_width=None,
+                     fused_mean=True):
     """Additive cost-model floor for one bench row (VERDICT r2 item 3).
 
     Terms (all per train step, seconds):
@@ -201,6 +202,17 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
         at peak stream bandwidth.
       * mxu — block matmul FLOPs plus the model's projection/attention/MLP
         matmuls (fwd + 2x for backward) at peak bf16 rate.
+      * act_stream — the materialized [N, heads·d] projection activations
+        each cost ≥5 HBM passes per layer at peak stream bandwidth
+        (write+read in the forward, cotangent write+read in the backward,
+        one primal re-read for the bilinear grads). Under the round-5
+        fused/factored model (fuse_head_mean: value factored through the
+        key aggregates, branch outputs emitted head-averaged) only q and k
+        exist → 10 passes; ``fused_mean=False`` (reference head-mean
+        order) materializes q/k/v plus two [N, heads·d] branch outputs →
+        15 + 8 passes. Plus a lump of 8 [N, hidden] passes for
+        LN/residual/dropout/layer IO. This is the term the round-4 account
+        omitted (VERDICT r4 weak 1: 'the roofline itself under-accounts').
 
     Interpretation: the gather constants are calibrated on UNIFORM-RANDOM
     indices — re-measured in the same invocation via calibrate_gather (the
@@ -260,13 +272,20 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
     # is applied once per layer (fwd in the forward, rev in the backward)
     t_mxu = (3 * model_flops + layers * dense_flops_per_apply) / MXU_FLOPS
 
-    floor_ms = (t_gather + t_dense + t_mxu) * 1e3
+    # activation streaming (round 5; see docstring)
+    big_bytes = n * heads * d * dtype_bytes
+    small_bytes = n * hidden * dtype_bytes
+    big_passes = 5 * 2 if fused_mean else 5 * 3 + 4 * 2
+    t_act = layers * (big_passes * big_bytes + 8 * small_bytes) / HBM_GBPS
+
+    floor_ms = (t_gather + t_dense + t_mxu + t_act) * 1e3
     out = {
         "gather_ms": round(t_gather * 1e3, 2),
         "gathered_rows_per_layer": sum(res_edges),
         "dense_stream_ms": round(t_dense * 1e3, 2),
         "dense_block_mb": round(dense_bytes / 1e6, 1),
         "mxu_ms": round(t_mxu * 1e3, 2),
+        "act_stream_ms": round(t_act * 1e3, 2),
         "roofline_ms": round(floor_ms, 2),
         "pct_of_roofline": (round(100.0 * floor_ms / step_ms, 1)
                             if step_ms else None),
@@ -400,9 +419,11 @@ def trainer_probe(jax, *, model, ell, x, s_sorted, r_sorted, e, layers,
     }
 
 
-def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
+def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
+               e=E_DEF,
                steps=8, dtype="bfloat16", use_graph=True, run_naive=False,
-               tile=256, seed=0, remat=False, with_trainer=False):
+               tile=256, seed=0, remat=False, with_trainer=False,
+               trainer_epochs=None):
     """Measure one (graph kind, head count) operating point. Returns a dict
     row for the detail list. ``remat=True`` checkpoints the per-layer branch
     activations — needed when E*H*D activations exceed HBM (uniform H=8)."""
@@ -444,21 +465,31 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     # rows shrink to F+1 — the measured H=8 bottleneck (roofline gather
     # term). BENCH_SPMM_FIRST=0 reverts to reference operation order.
     spmm_first = heads > 1 and os.environ.get("BENCH_SPMM_FIRST", "1") == "1"
+    # round 5: head-mean fusion (no [N, H, D] branch outputs; see
+    # nn/difformer.fuse_head_mean). BENCH_FUSE_MEAN=0 reverts to the
+    # reference head-mean order for A/B.
+    fuse_mean = (heads > 1
+                 and os.environ.get("BENCH_FUSE_MEAN", "1") == "1")
     model = DIFFormer(hidden_channels=64, out_channels=C, num_layers=LAYERS,
                       num_heads=heads, kernel="simple", dropout=0.0,
                       use_graph=use_graph, compute_dtype=dtype or None,
-                      remat=remat, spmm_first=spmm_first)
+                      remat=remat, spmm_first=spmm_first,
+                      fuse_head_mean=fuse_mean)
     # the naive baseline must keep the REFERENCE operation order
-    # (gcn_conv over H·D-wide value projections, difformer.py:130) — a
-    # line-by-line port would not have the spmm_first rewrite; same param
-    # tree, so the measured model's init works for both
+    # (gcn_conv over H·D-wide value projections, difformer.py:130, mean
+    # after stacking heads) — a line-by-line port would have neither the
+    # spmm_first rewrite nor the head-mean fusion; same param tree, so the
+    # measured model's init works for both
     naive_model = DIFFormer(hidden_channels=64, out_channels=C,
                             num_layers=LAYERS, num_heads=heads,
                             kernel="simple", dropout=0.0,
                             use_graph=use_graph,
-                            compute_dtype=dtype or None, remat=remat)
+                            compute_dtype=dtype or None, remat=remat,
+                            fuse_head_mean=False)
     if spmm_first:
         impl_label += "+spmm1st"
+    if fuse_mean:
+        impl_label += "+fusedmean"
     xs = jnp.asarray(x)
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
@@ -562,12 +593,25 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
     edges_per_s = e * LAYERS / t_fast
 
     naive_eps = None
+    naive_note = None
     if run_naive:
-        t_naive = timeit(
-            make_multi_step(s_uns, r_uns, False, use_ell=False,
-                            use_model=naive_model), "naive",
-            reps=2)
-        naive_eps = e * LAYERS / t_naive
+        try:
+            t_naive = timeit(
+                make_multi_step(s_uns, r_uns, False, use_ell=False,
+                                use_model=naive_model), "naive",
+                reps=2)
+            naive_eps = e * LAYERS / t_naive
+        except Exception as err:
+            # e.g. HBM OOM on the [E, H·D] unsorted-scatter messages at
+            # proteins edge density — the reference full-graph path cannot
+            # run there at all (its answer is mini-batching,
+            # main-batch.py:126-133); report that instead of dying
+            run_naive = False
+            naive_note = (f"reference-structure full-graph step failed at "
+                          f"this scale ({type(err).__name__}) — the "
+                          f"reference's only path here is mini-batching")
+            print(f"# [{graph} H={heads}] naive failed ({err}); "
+                  f"recording note", file=sys.stderr, flush=True)
     elif (graph, heads) in NAIVE_EDGES_PER_S and (n, e) == (N_DEF, E_DEF):
         # cached constants were measured at the default shape only — at any
         # other (n, e) report null rather than a wrong-shape ratio
@@ -578,10 +622,13 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         ell, impl=impl_label, e=e, layers=LAYERS, heads=heads, d=64,
         dtype_bytes=dtype_bytes, n=n, in_feat=F, hidden=64, out_ch=C,
         step_ms=t_fast * 1e3,
-        row_width=(F + 1) if spmm_first else None)
+        row_width=(F + 1) if spmm_first
+        else (64 if fuse_mean else None),
+        fused_mean=fuse_mean or heads == 1)
 
     row = {
-        "graph": graph, "heads": heads, "impl": impl_label,
+        "graph": label or graph, "heads": heads, "impl": impl_label,
+        "n_nodes": n, "n_edges": e,
         "dense_coverage": round(coverage, 3),
         "edges_per_s": round(edges_per_s, 1),
         "step_ms": round(t_fast * 1e3, 2),
@@ -593,6 +640,8 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
         "calibration_measured_now": CALIB["measured_now"],
         "roofline": roofline,
     }
+    if naive_note:
+        row["naive_note"] = naive_note
     if with_trainer:
         # product-path (FullBatchTrainer/cli engine) throughput on the same
         # graph + operator + model — VERDICT r3 item 1
@@ -600,7 +649,8 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
             row["trainer"] = trainer_probe(
                 jax, model=model, ell=ell, x=x, s_sorted=s_sorted,
                 r_sorted=r_sorted, e=e, layers=LAYERS, heads=heads,
-                graph=graph, bench_eps=edges_per_s, dtype=dtype)
+                graph=graph, bench_eps=edges_per_s, dtype=dtype,
+                epochs=trainer_epochs)
         except Exception as err:
             print(f"# [{graph} H={heads}] trainer probe failed ({err})",
                   file=sys.stderr, flush=True)
@@ -609,7 +659,8 @@ def run_config(jax, *, graph, heads, impl="auto", n=N_DEF, e=E_DEF,
 
 
 def run_minibatch_config(jax, *, n=N_DEF, e=E_DEF, dtype="bfloat16",
-                         batch_size=10000, epochs=None, seed=0):
+                         batch_size=10000, epochs=None, seed=0, label=None,
+                         run_naive=None):
     """Trainer-level mini-batch row: the ogbn-proteins recipe
     (``node classification/run.sh:37-39`` — batch 10000, 3 layers, h=64,
     BCE) through the PRODUCT engine ``train/minibatch.MiniBatchTrainer`` on
@@ -664,9 +715,94 @@ def run_minibatch_config(jax, *, n=N_DEF, e=E_DEF, dtype="bfloat16",
     dt = (time.perf_counter() - t0) / epochs
     print(f"# [minibatch] {dt * 1e3:.1f} ms/epoch "
           f"({n / dt / 1e6:.2f} M nodes/s)", file=sys.stderr, flush=True)
+
+    # reference-structure naive loop, same invocation (VERDICT r4 item 6):
+    # per epoch a fresh host permutation; per chunk a HOST induced-subgraph
+    # extraction, a host->device feature/label upload, and ONE dispatch
+    # (main-batch.py:126-142); every 9 epochs a full-graph forward whose
+    # [N, C] logits are fetched to host and scored there (the de-facto
+    # shape of eval.py:34-63 — the reference even moves the model to CPU,
+    # which we charitably do NOT charge). Same model, same loss, same
+    # static edge buckets (a torch loop has no compile, so bucketing is
+    # charity, not cost).
+    if run_naive is None:
+        run_naive = os.environ.get("BENCH_RUN_NAIVE", "1") == "1"
+    naive_dt = None
+    if run_naive:
+        import jax.numpy as jnp
+        import optax
+
+        from difformer_tpu.data.transforms import (
+            edge_bucket,
+            pad_edges,
+            subgraph,
+        )
+        from difformer_tpu.train.optim import torch_adam
+
+        ei_full = np.stack([s_sorted, r_sorted])
+        y_oh = np.zeros((n, C), np.float32)
+        y_oh[np.arange(n), y] = 1.0
+        tx = torch_adam(1e-2, 0.0)
+
+        @jax.jit
+        def chunk_step(params, opt_state, x_i, s, r, em, y_i):
+            def loss_fn(p):
+                out = model.apply({"params": p}, x_i, s, r, train=False,
+                                  edge_mask=em)
+                return optax.sigmoid_binary_cross_entropy(out, y_i).mean()
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        e_b_full = edge_bucket(e)
+        ei_pad, _, em_full = pad_edges(ei_full, None, e_b_full)
+        full_args = (jnp.asarray(x), jnp.asarray(ei_pad[0], jnp.int32),
+                     jnp.asarray(ei_pad[1], jnp.int32), jnp.asarray(em_full))
+
+        @jax.jit
+        def full_fwd(params, xs, s, r, em):
+            return model.apply({"params": params}, xs, s, r, train=False,
+                               edge_mask=em)
+
+        chunk_bucket = trainer._estimate_chunk_edges()
+
+        def naive_run(epochs_, params, opt_state, seed_):
+            rng_np = np.random.default_rng(seed_)
+            for ep in range(epochs_):
+                idx = rng_np.permutation(n)
+                for i in range(-(-n // batch_size)):
+                    chunk = idx[i * batch_size:(i + 1) * batch_size]
+                    sub, _ = subgraph(chunk, ei_full, n)   # host extract
+                    sub_p, _, em = pad_edges(sub, None, chunk_bucket)
+                    params, opt_state, loss = chunk_step(
+                        params, opt_state, x[chunk],        # host upload
+                        sub_p[0].astype(np.int32), sub_p[1].astype(np.int32),
+                        em, y_oh[chunk])
+                if ep % 9 == 0 or ep == epochs_ - 1:
+                    logits = np.asarray(full_fwd(params, *full_args))
+                    for name in ("train", "valid", "test"):
+                        sp = np.asarray(split[name])
+                        (np.argmax(logits[sp], -1) == y[sp]).mean()
+            float(loss)
+            return params, opt_state
+
+        p0 = trainer.init_state(0)
+        t0 = time.perf_counter()
+        p1 = naive_run(2, *p0, 7)                        # compile warm
+        print(f"# [minibatch naive] warm 2 epochs "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.perf_counter()
+        naive_run(epochs, *p1, 8)
+        naive_dt = (time.perf_counter() - t0) / epochs
+        print(f"# [minibatch naive] {naive_dt * 1e3:.1f} ms/epoch",
+              file=sys.stderr, flush=True)
+
     return {
-        "graph": "powerlaw-minibatch", "heads": 1,
+        "graph": label or "powerlaw-minibatch", "heads": 1,
         "impl": f"minibatch-{batch_size}",
+        "n_nodes": n, "n_edges": e,
         "dense_coverage": None,
         "edges_per_s": round(sub_edges * LAYERS / dt, 1),
         "nodes_per_s": round(n / dt, 1),
@@ -674,11 +810,16 @@ def run_minibatch_config(jax, *, n=N_DEF, e=E_DEF, dtype="bfloat16",
         "step_ms": None, "remat": False,
         "sub_edges_per_epoch": int(sub_edges),
         "epochs": epochs, "eval_step": 9,
-        "vs_baseline": None,
-        "naive_edges_per_s": None, "naive_measured_now": False,
-        "naive_note": ("reference minibatch loop is the same host-chunking "
-                       "structure; no on-chip naive comparator — nodes/s is "
-                       "the headline for this row"),
+        "vs_baseline": (round(naive_dt / dt, 3) if naive_dt else None),
+        "naive_edges_per_s": (round(sub_edges * LAYERS / naive_dt, 1)
+                              if naive_dt else None),
+        "naive_epoch_ms": (round(naive_dt * 1e3, 2) if naive_dt else None),
+        "naive_measured_now": bool(naive_dt),
+        "naive_note": ("reference-structure loop measured same-invocation: "
+                       "per-chunk host subgraph + host upload + one "
+                       "dispatch, host full-graph eval (main-batch.py:"
+                       "126-145, eval.py:34-63)" if naive_dt else
+                       "naive comparator disabled (BENCH_RUN_NAIVE=0)"),
         "calibration_measured_now": CALIB["measured_now"],
         "roofline": None,
     }
@@ -820,6 +961,59 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, layers=3, steps=8,
     impl_label = "flash-sigmoid" if n >= 8192 else "auto-dense-sigmoid"
     name = (f"sigmoid-{n}" + (f"-L{layers}" if layers != 3 else "")
             + (f"-H{heads}" if heads != 1 else ""))
+
+    # steady-state product-path measurement (VERDICT r4 item 5): the
+    # cora-a recipe (8 layers, use_graph, run.sh:9-11) through the
+    # epoch-SCANNED FullBatchTrainer — one dispatch per block of epochs,
+    # so the per-call dispatch floor the bare-step 0.93–0.94 readings were
+    # attributed to is fully amortized — flash/auto vs the
+    # reference-structure dense dispatch, same invocation.
+    trainer = None
+    if (os.environ.get("BENCH_SIGMOID_TRAINER", "1") == "1"
+            and layers == 8 and t_naive is not None):
+        from difformer_tpu.data.graph import GraphData
+        from difformer_tpu.data.splits import rand_train_test_idx
+        from difformer_tpu.train import FullBatchTrainer
+
+        ep = int(os.environ.get("BENCH_SIGMOID_TRAINER_EPOCHS", 100))
+        y1 = np.random.default_rng(2).integers(0, C, size=n)
+        split = rand_train_test_idx(y1, 0.5, 0.25, rng=0)
+
+        def fit_time(sorted_edges, tag, reps=2):
+            gd = GraphData.from_numpy(
+                x, np.stack([s_sorted, r_sorted] if sorted_edges
+                            else [s_uns, r_uns]))
+            tr = FullBatchTrainer(
+                model, gd, y1, lr=1e-2, weight_decay=0.0, loss="nll",
+                metric="acc",
+                model_kwargs={"indices_are_sorted": sorted_edges})
+            tr.fit(split, epochs=ep, eval_step=10 ** 9, epoch_block=25)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                tr.fit(split, epochs=ep, eval_step=10 ** 9, epoch_block=25)
+                best = min(best, (time.perf_counter() - t0) / ep)
+            print(f"# [sigmoid N={n}] scanned-trainer {tag}: "
+                  f"{best * 1e3:.2f} ms/epoch (min of {reps}, {ep} epochs "
+                  f"per fit)", file=sys.stderr, flush=True)
+            return best
+
+        t_tr_fast = fit_time(sorted_hint, "flash/auto")
+        saved = dif_mod.sigmoid_attention
+        dif_mod.sigmoid_attention = (
+            lambda q, k, v, **kw: sigmoid_attention_dense(
+                q, k, v, key_mask=kw.get("key_mask")))
+        try:
+            t_tr_naive = fit_time(False, "naive-dense")
+        finally:
+            dif_mod.sigmoid_attention = saved
+        trainer = {
+            "epochs_per_fit": ep, "epoch_block": 25,
+            "epoch_ms": round(t_tr_fast * 1e3, 2),
+            "naive_epoch_ms": round(t_tr_naive * 1e3, 2),
+            "vs_naive_steady_state": round(t_tr_naive / t_tr_fast, 3),
+        }
+
     return {
         "graph": name, "heads": heads, "layers": layers,
         "impl": impl_label,
@@ -841,6 +1035,7 @@ def run_sigmoid_config(jax, *, n=4096, heads=1, layers=3, steps=8,
             "roofline_ms": round(floor_ms, 2),
             "pct_of_roofline": round(100.0 * floor_ms / (t_fast * 1e3), 1),
         },
+        **({"trainer": trainer} if trainer else {}),
     }
 
 
@@ -912,12 +1107,54 @@ def main():
                       file=sys.stderr, flush=True)
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
                                        remat=True, with_trainer=wt, **common))
+        if os.environ.get("BENCH_PROTEINS_DENSITY", "1") == "1":
+            # VERDICT r4 item 1: full-graph row at REAL ogbn-proteins edge
+            # density — N=131072, E≈39.5M (the bench default E=4.2M matches
+            # proteins' node count but not its ~300 mean in-degree /
+            # ~600 undirected mean degree). The reference only survives
+            # this density by mini-batching (node classification/
+            # run.sh:37-39, main-batch.py:126-133); the naive comparator
+            # here IS its full-graph structure, measured or OOM-noted.
+            e_pd = int(os.environ.get("BENCH_PD_E", 39_500_000))
+            pd_common = dict(common, e=e_pd)
+            try:
+                rows.append(run_config(
+                    jax, graph="powerlaw", heads=1, impl="auto",
+                    label="proteins-density", with_trainer=tr_mode != "0",
+                    trainer_epochs=int(os.environ.get(
+                        "BENCH_PD_TRAINER_EPOCHS", 10)), **pd_common))
+            except Exception as err:
+                print(f"# [proteins-density] failed ({err}); retrying with "
+                      f"remat", file=sys.stderr, flush=True)
+                try:
+                    rows.append(run_config(
+                        jax, graph="powerlaw", heads=1, impl="auto",
+                        label="proteins-density", remat=True,
+                        with_trainer=tr_mode != "0",
+                        trainer_epochs=int(os.environ.get(
+                            "BENCH_PD_TRAINER_EPOCHS", 10)), **pd_common))
+                except Exception as err2:
+                    print(f"# [proteins-density] failed again ({err2}); "
+                          f"continuing without it", file=sys.stderr,
+                          flush=True)
         if os.environ.get("BENCH_MINIBATCH", "1") == "1":
             try:
                 rows.append(run_minibatch_config(jax, n=n, e=e, dtype=dtype))
             except Exception as err:
                 print(f"# [minibatch] failed ({err}); continuing without it",
                       file=sys.stderr, flush=True)
+            if os.environ.get("BENCH_PROTEINS_DENSITY", "1") == "1":
+                # the same proteins-density shape through the minibatch
+                # engine — the reference's ONLY way to run this density
+                try:
+                    rows.append(run_minibatch_config(
+                        jax, n=n, e=int(os.environ.get(
+                            "BENCH_PD_E", 39_500_000)), dtype=dtype,
+                        label="proteins-density-minibatch"))
+                except Exception as err:
+                    print(f"# [proteins-density-minibatch] failed ({err}); "
+                          f"continuing without it", file=sys.stderr,
+                          flush=True)
         if os.environ.get("BENCH_GRAPH_LEVEL", "1") == "1":
             # particle-track rows with the node-track honesty machinery
             # (VERDICT r3 item 6): reference-structure naive + roofline,

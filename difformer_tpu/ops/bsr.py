@@ -632,21 +632,28 @@ def _sh_bwd(res, g):
 bsr_spmm_sharded.defvjp(_sh_fwd, _sh_bwd)
 
 
-def dense_coverage(senders, receivers, num_nodes, *, tile=256,
-                   min_edges=None):
-    """Fraction of edges that would land in dense tiles — cheap host-side
-    probe (unique+counts only) for auto-selecting the SpMM implementation:
-    community graphs score high, uniform-random graphs ~0."""
+def _tile_stats(senders, receivers, num_nodes, *, tile=256, min_edges=None):
+    """(edge coverage, qualifying-tile count) of the dense-tile partition."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     if senders.size == 0:
-        return 0.0
+        return 0.0, 0
     if min_edges is None:
         min_edges = default_min_edges(tile)
     nt = -(-num_nodes // tile)
     key = (receivers // tile).astype(np.int64) * nt + senders // tile
     _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    return float((counts[inv] >= min_edges).mean())
+    keep = counts >= min_edges
+    return float(keep[inv].mean()), int(keep.sum())
+
+
+def dense_coverage(senders, receivers, num_nodes, *, tile=256,
+                   min_edges=None):
+    """Fraction of edges that would land in dense tiles — cheap host-side
+    probe (unique+counts only) for auto-selecting the SpMM implementation:
+    community graphs score high, uniform-random graphs ~0."""
+    return _tile_stats(senders, receivers, num_nodes, tile=tile,
+                       min_edges=min_edges)[0]
 
 
 def degree_sorted_order(senders, receivers, num_nodes):
@@ -668,18 +675,34 @@ def degree_sorted_order(senders, receivers, num_nodes):
 
 
 def choose_spmm(senders, receivers, num_nodes, *, tile=256,
-                coverage_threshold=0.3, try_degree_sort=True):
+                coverage_threshold=0.3, try_degree_sort=True,
+                budget_bytes=2.5 * 2 ** 30, block_elem_bytes=2):
     """'bsr' when enough of the graph is tile-dense to pay for the blocks;
     'bsr-sorted' when it only becomes so after hub-clustering relabeling
-    (:func:`degree_sorted_order`); else 'ell'."""
-    cov = dense_coverage(senders, receivers, num_nodes, tile=tile)
+    (:func:`degree_sorted_order`); else 'ell'.
+
+    Coverage alone is not sufficient: at ogbn-proteins edge density
+    (mean degree ~300) EVERY 256-tile holds ≥ min_edges, so coverage
+    reads 1.0 — but materializing all ~260k tiles would take ~34 GB of
+    blocks, far over ``budget_bytes``. In that capped regime the natural
+    node order wastes the budget on merely-average tiles; hub-clustering
+    first concentrates the kept blocks on the densest region (round-5
+    on-chip ladder at N=131072, E=39.5M: pure ELL 1496 ms/step, capped
+    unsorted hybrid 1337, capped hub-sorted hybrid 851) — so over-budget
+    coverage elects 'bsr-sorted', in-budget coverage plain 'bsr' (natural
+    community structure is already block-aligned; relabeling would break
+    it)."""
+    cov, n_tiles = _tile_stats(senders, receivers, num_nodes, tile=tile)
+    blocks_bytes = n_tiles * tile * tile * block_elem_bytes
     if cov >= coverage_threshold:
-        return "bsr", cov
+        if blocks_bytes <= budget_bytes or not try_degree_sort:
+            return "bsr", cov
+        return "bsr-sorted", cov
     if try_degree_sort:
         perm = degree_sorted_order(senders, receivers, num_nodes)
-        cov_sorted = dense_coverage(perm[np.asarray(senders)],
-                                    perm[np.asarray(receivers)],
-                                    num_nodes, tile=tile)
+        cov_sorted, _ = _tile_stats(
+            perm[np.asarray(senders)], perm[np.asarray(receivers)],
+            num_nodes, tile=tile)
         if cov_sorted >= coverage_threshold:
             return "bsr-sorted", cov_sorted
     return "ell", cov

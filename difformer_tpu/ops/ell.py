@@ -84,7 +84,20 @@ def _adaptive_ks(counts, *, min_bucket=8, max_buckets=6):
     max_deg = int(pos.max())
     if ks[-1] < max_deg:
         ks[-1] = -(-max_deg // mult) * mult
-    return ks
+    # densify: bound per-row padding waste at 2x. A quantile ladder alone
+    # stretches its top rung to the max degree, which on heavy-tailed
+    # degree distributions at ogbn-proteins density (p99 ≈ 5x median, max
+    # ≈ 150x) pads O(10%) of rows to the max width — measured ~8x slot
+    # blow-up (296M slots for 35M edges) and an HBM OOM (round 5). With
+    # geometric midpoints no adjacent widths differ by more than 2x, so
+    # slots ≤ 2 x edges for every distribution; the extra bucket count is
+    # logarithmic in the degree spread.
+    dense = [ks[0]]
+    for k in ks[1:]:
+        while k > 2 * dense[-1]:
+            dense.append(-(-(2 * dense[-1]) // mult) * mult)
+        dense.append(k)
+    return sorted(set(dense))
 
 
 def _build_direction(point_to, owner, values, num_nodes, *, min_bucket=8):
@@ -167,46 +180,47 @@ _GATHER_BUDGET_BYTES = 1 << 30
 def _ell_matvec(ell: EllGraph, x):
     """out[n] = Σ_k w[n,k] · x[idx[n,k]] — gathers and dense sums only.
 
-    The trailing feature dims are processed in chunks when the gathered
-    per-slot intermediate would exceed ``_GATHER_BUDGET_BYTES`` (each chunk
-    re-gathers a narrower row; a few extra fixed-cost row fetches buy a
-    bounded footprint)."""
+    Buckets whose gathered [rows, k, F] intermediate would exceed
+    ``_GATHER_BUDGET_BYTES`` are accumulated over k-CHUNKS inside a
+    ``lax.scan`` (footprint rows × kc × F, every slot still gathered
+    exactly once). An earlier design chunked the FEATURE dim instead,
+    re-gathering every slot once per chunk — at ogbn-proteins edge
+    density (50M slots × F=64 → 7 chunks) that multiplied the per-row
+    base cost 7× and read 17 ns/slot against the 3.3 ns calibrated floor
+    (round-5 measurement); k-chunking removes the re-gathers."""
     trailing = x.shape[1:]
     F = int(np.prod(trailing)) if trailing else 1
     x2 = x.reshape(x.shape[0], F)
-    slots = sum(int(i.shape[0]) * int(i.shape[1]) for i in ell.nbr_idx)
-    n_chunks = int(min(
-        max(1, -(-slots * F * x.dtype.itemsize // _GATHER_BUDGET_BYTES)), F))
-    f_chunk = -(-F // n_chunks)
-    if n_chunks > 1 and F > 128:
-        # round the chunk width up to the 128-lane tile so narrower chunks
-        # don't pad straight back to 128 lanes (2.5x expansion observed)
-        f_chunk = -(-f_chunk // 128) * 128
-        n_chunks = -(-F // f_chunk)
+    itemsize = x.dtype.itemsize
 
     def bucket_sum(idx, w, xc):
         nb, k = idx.shape
         g = jnp.take(xc, idx.reshape(-1), axis=0).reshape(nb, k, xc.shape[1])
         return jnp.sum(g * w[..., None].astype(xc.dtype), axis=1)
 
-    def all_buckets(xc):
-        return jnp.concatenate(
-            [bucket_sum(idx, w, xc)
-             for idx, w in zip(ell.nbr_idx, ell.weight)], axis=0)
-
-    if n_chunks == 1:
-        out_sorted = all_buckets(x2)
-    else:
-        # lax.scan serializes the chunks — a python loop emits them as
-        # independent ops and XLA schedules the multi-GB gathers
-        # concurrently, defeating the whole budget
-        f_pad = n_chunks * f_chunk
-        x2p = (x2 if f_pad == F
-               else jnp.pad(x2, ((0, 0), (0, f_pad - F))))
-        xs = jnp.moveaxis(x2p.reshape(x2.shape[0], n_chunks, f_chunk), 1, 0)
-        _, outs = jax.lax.scan(lambda _, xc: (None, all_buckets(xc)),
-                               None, xs)
-        out_sorted = jnp.moveaxis(outs, 0, 1).reshape(-1, f_pad)[:, :F]
+    outs = []
+    for idx, w in zip(ell.nbr_idx, ell.weight):
+        nb, k = idx.shape
+        if nb == 0:
+            outs.append(jnp.zeros((0, F), x2.dtype))
+            continue
+        if nb * k * F * itemsize <= _GATHER_BUDGET_BYTES:
+            outs.append(bucket_sum(idx, w, x2))
+            continue
+        kc = int(_GATHER_BUDGET_BYTES // max(1, nb * F * itemsize))
+        kc = min(max(8, kc // 8 * 8), k)
+        nkc = -(-k // kc)
+        pad = nkc * kc - k
+        # padded slots gather row 0 with weight 0 (≤ kc−1 per row)
+        idx3 = jnp.moveaxis(
+            jnp.pad(idx, ((0, 0), (0, pad))).reshape(nb, nkc, kc), 1, 0)
+        w3 = jnp.moveaxis(
+            jnp.pad(w, ((0, 0), (0, pad))).reshape(nb, nkc, kc), 1, 0)
+        out_b, _ = jax.lax.scan(
+            lambda acc, iw: (acc + bucket_sum(iw[0], iw[1], x2), None),
+            jnp.zeros((nb, F), x2.dtype), (idx3, w3))
+        outs.append(out_b)
+    out_sorted = jnp.concatenate(outs, axis=0)
     out = jnp.take(out_sorted, ell.inv_perm, axis=0)
     return out.reshape((x.shape[0],) + trailing)
 
