@@ -30,6 +30,10 @@ class PaddedGraphBatch:
     edge_weight: Optional[Any] = None
     labels: Optional[Any] = None        # [B] or [B, T]
     graph_mask: Optional[Any] = None    # bool [B] — False for padding graphs
+    # optional block-dense conv plan (``dense_adj(batch)``, [B, M, M]) —
+    # carried as a pytree leaf so DP stacking/sharding moves it with the
+    # batch; None when a gather plan is in use
+    dense_adj: Optional[Any] = None
     # True when receivers are globally non-decreasing (kNN/radius builders
     # emit center-major edges; padding slots point at the last padded node
     # to preserve the order) — unlocks XLA's sorted-scatter path in
@@ -254,3 +258,44 @@ def regular_knn_table(batch: PaddedGraphBatch, *, max_k: int = 64,
     ridx[rs, slot] = rr
     rw[rs, slot] = wvals[order]
     return idx, w, ridx, rw
+
+
+def dense_adj(batch: PaddedGraphBatch, *, max_m: int = 512,
+              budget_bytes: int = 2 * 2 ** 30, dtype=np.float32):
+    """Per-graph dense normalized adjacency ``A [B, M, M]`` (round 5).
+
+    Particle-track graphs are tiny (~100 nodes: actstrack kNN(5), reference
+    ``datasets/actstrack.py:178``), so the conv over a padded batch maps to
+    the MXU as one batched matmul ``out[b] = A[b] @ v[b]`` — ~2 GFLOP/layer
+    at the actstrack batch shape, microseconds of MXU time, where the
+    edge-list/gather-table plans pay ~1M gather-row dispatches per layer
+    per direction (the per-row gather floor, BENCH_NOTES r5). The backward
+    is ``A^T @ dg`` — plain AD, also a batched matmul; no scatter, no
+    custom VJP, no per-row cost anywhere.
+
+    ``A[b, r, s]`` = symmetric gcn norm × per-edge weight for edge s→r
+    (exact ``ops.graph_ops.gcn_conv`` semantics: in-degree over real
+    receivers, deg-0 rows zeroed, duplicate edges accumulated). Rows and
+    columns of padded slots are zero.
+
+    Returns ``None`` when the plan is a bad fit: ``M > max_m`` or
+    ``B·M²·itemsize > budget_bytes`` (large per-graph node counts — e.g.
+    PLBind pockets — stay on the edge-list / knn-table paths).
+    """
+    B, M = batch.node_feat.shape[:2]
+    if M > max_m or B * M * M * np.dtype(dtype).itemsize > budget_bytes:
+        return None
+    em = np.asarray(batch.edge_mask)
+    send = np.asarray(batch.senders)[em]
+    recv = np.asarray(batch.receivers)[em]
+    n_pad = B * M
+    deg = np.bincount(recv, minlength=n_pad)
+    inv_sqrt = np.zeros(n_pad, np.float32)
+    inv_sqrt[deg > 0] = 1.0 / np.sqrt(deg[deg > 0])
+    wvals = inv_sqrt[send] * inv_sqrt[recv]
+    if batch.edge_weight is not None:
+        wvals = wvals * np.asarray(batch.edge_weight)[em].astype(np.float32)
+    A = np.zeros((B, M, M), np.float32)
+    # edges never cross graphs (pad_graph_batch offsets each graph by b*M)
+    np.add.at(A, (recv // M, recv % M, send % M), wvals)
+    return A.astype(dtype)

@@ -62,6 +62,7 @@ class TransConvV2(nn.Module):
         edge_mask=None,
         indices_are_sorted=False,
         knn_table=None,        # (idx [B*M, k], w [B*M, k]) scatter-free plan
+        dense_adj=None,        # [B, M, M] per-graph normalized adjacency
     ):
         B, M = x_pad.shape[:2]
         H, D = self.num_heads, self.out_channels
@@ -95,30 +96,18 @@ class TransConvV2(nn.Module):
             raise ValueError(f"unknown kernel {self.kernel!r}")
 
         if self.use_graph:
-            v_flat = value.reshape(B * M, value.shape[2], D)
-            if knn_table is not None:
-                # k-in-regular plan (data/batching.regular_knn_table):
-                # dense [B*M, k] gather + reduce — no scatter in the
-                # forward; with the transposed table the BACKWARD is a
-                # dense gather too (ops.graph_ops.knn_table_conv custom
-                # VJP, round 5) instead of the take-VJP scatter
-                idx, w, ridx, rw = (knn_table if len(knn_table) == 4
-                                    else (*knn_table, None, None))
-                if ridx is not None:
-                    from difformer_tpu.ops.graph_ops import knn_table_conv
-
-                    g_flat = knn_table_conv(v_flat, idx, w, ridx, rw)
-                else:
-                    g_flat = jnp.einsum(
-                        "rk,rkhd->rhd", w.astype(v_flat.dtype),
-                        jnp.take(v_flat, idx, axis=0))
+            if dense_adj is not None:
+                # block-dense plan (data/batching.dense_adj): tiny per-graph
+                # adjacencies make the conv one batched MXU matmul in each
+                # direction (backward = A^T @ dg via plain AD) — no gathers,
+                # no scatters; ~45x cheaper than the gather plans at the
+                # actstrack shape (BENCH_NOTES r5)
+                graph_output = jnp.einsum(
+                    "bmn,bnhd->bmhd", dense_adj.astype(value.dtype), value)
             else:
-                g_flat = gcn_conv(
-                    v_flat, senders, receivers, edge_weight,
-                    num_nodes=B * M, edge_mask=edge_mask,
-                    indices_are_sorted=indices_are_sorted,
-                )
-            graph_output = g_flat.reshape(B, M, value.shape[2], D)
+                graph_output = self._edge_conv(
+                    value, senders, receivers, edge_weight, edge_mask,
+                    indices_are_sorted, knn_table, B, M, D)
             if self.graph_weight > 0:
                 final_output = (
                     (1 - self.graph_weight) * attention_output
@@ -130,6 +119,33 @@ class TransConvV2(nn.Module):
             final_output = attention_output
 
         return final_output.mean(axis=2)  # mean over heads → [B, M, D]
+
+    def _edge_conv(self, value, senders, receivers, edge_weight, edge_mask,
+                   indices_are_sorted, knn_table, B, M, D):
+        v_flat = value.reshape(B * M, value.shape[2], D)
+        if knn_table is not None:
+            # k-in-regular plan (data/batching.regular_knn_table):
+            # dense [B*M, k] gather + reduce — no scatter in the
+            # forward; with the transposed table the BACKWARD is a
+            # dense gather too (ops.graph_ops.knn_table_conv custom
+            # VJP, round 5) instead of the take-VJP scatter
+            idx, w, ridx, rw = (knn_table if len(knn_table) == 4
+                                else (*knn_table, None, None))
+            if ridx is not None:
+                from difformer_tpu.ops.graph_ops import knn_table_conv
+
+                g_flat = knn_table_conv(v_flat, idx, w, ridx, rw)
+            else:
+                g_flat = jnp.einsum(
+                    "rk,rkhd->rhd", w.astype(v_flat.dtype),
+                    jnp.take(v_flat, idx, axis=0))
+        else:
+            g_flat = gcn_conv(
+                v_flat, senders, receivers, edge_weight,
+                num_nodes=B * M, edge_mask=edge_mask,
+                indices_are_sorted=indices_are_sorted,
+            )
+        return g_flat.reshape(B, M, value.shape[2], D)
 
 
 class DIFFormerV2(nn.Module):
@@ -165,6 +181,7 @@ class DIFFormerV2(nn.Module):
         train=False,
         indices_are_sorted=False,
         knn_table=None,
+        dense_adj=None,
     ):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -188,7 +205,7 @@ class DIFFormerV2(nn.Module):
                 crossgraph_quirk=self.crossgraph_quirk,
                 name=f"conv_{i}",
             )(x, node_mask, n_nodes, senders, receivers, edge_weight,
-              edge_mask, indices_are_sorted, knn_table)
+              edge_mask, indices_are_sorted, knn_table, dense_adj)
             if self.use_residual:
                 x = self.alpha * x + (1 - self.alpha) * prev
             if self.use_bn:
@@ -215,11 +232,11 @@ class GraphLevelModel(nn.Module):
     @nn.compact
     def __call__(self, x_pad, node_mask, n_nodes, senders=None, receivers=None,
                  edge_weight=None, edge_mask=None, *, train=False,
-                 indices_are_sorted=False, knn_table=None):
+                 indices_are_sorted=False, knn_table=None, dense_adj=None):
         h = self.encoder(
             x_pad, node_mask, n_nodes, senders, receivers, edge_weight,
             edge_mask, train=train, indices_are_sorted=indices_are_sorted,
-            knn_table=knn_table,
+            knn_table=knn_table, dense_adj=dense_adj,
         )                                            # [B, M, C]
         m = node_mask[..., None].astype(h.dtype)
         if self.graph_pooling == "sum":

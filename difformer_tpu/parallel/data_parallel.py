@@ -22,8 +22,15 @@ from difformer_tpu.parallel.mesh import DATA_AXIS
 
 
 def shard_batches(dataset: Sequence, indices, per_device_batch, n_devices, *,
-                  max_nodes, max_edges, shuffle=False, rng=None):
-    """Yield per-device-stacked PaddedGraphBatch pytrees [S, b, ...]."""
+                  max_nodes, max_edges, shuffle=False, rng=None,
+                  dense_plan=False):
+    """Yield per-device-stacked PaddedGraphBatch pytrees [S, b, ...].
+
+    ``dense_plan=True`` attaches the block-dense conv plan
+    (``data/batching.dense_adj``) to each shard — [S, b, M, M] after
+    stacking — so the DP step runs the batched-MXU-matmul conv instead of
+    edge-list scatters.
+    """
     idx = np.asarray(indices)
     if shuffle:
         rng = rng or np.random.default_rng()
@@ -35,11 +42,16 @@ def shard_batches(dataset: Sequence, indices, per_device_batch, n_devices, *,
         for d in range(n_devices):
             ids = sel[d * per_device_batch:(d + 1) * per_device_batch]
             graphs = [dataset[i] for i in ids]
-            shards.append(pad_graph_batch(
+            pb = pad_graph_batch(
                 [g[0] for g in graphs], [g[1] for g in graphs],
                 [g[2] for g in graphs], max_nodes=max_nodes,
                 max_edges=max_edges, batch_size=per_device_batch,
-            ))
+            )
+            if dense_plan:
+                from difformer_tpu.data.batching import dense_adj
+
+                pb = pb.replace(dense_adj=dense_adj(pb))
+            shards.append(pb)
         yield jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *shards
         )
@@ -59,6 +71,7 @@ def make_dp_train_step(model, mesh, tx, axis: str = DATA_AXIS):
                 {"params": p}, b.node_feat, b.node_mask, b.n_nodes,
                 b.senders, b.receivers, None, b.edge_mask, train=True,
                 rngs=rngs, indices_are_sorted=b.edges_sorted,
+                dense_adj=b.dense_adj,
             )[:, 0]
             per = optax.sigmoid_binary_cross_entropy(out, b.labels)
             m = b.graph_mask.astype(out.dtype)

@@ -58,6 +58,7 @@ class GraphLevelTrainer:
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._fwd = jax.jit(self._fwd_impl)
         self._knn_mode = None   # probe on first batch (k-in-regular plan)
+        self._dense_mode = None  # probe on first batch (block-dense plan)
 
     def _apply(self, params, b, train, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
@@ -68,6 +69,7 @@ class GraphLevelTrainer:
             train=train, rngs=rngs,
             indices_are_sorted=self._edges_sorted,
             knn_table=b.get("knn_table"),
+            dense_adj=b.get("dense_adj"),
         )
 
     def _step_impl(self, params, opt_state, b, rng):
@@ -95,6 +97,19 @@ class GraphLevelTrainer:
             "labels": jnp.asarray(batch.labels),
             "graph_mask": jnp.asarray(batch.graph_mask),
         }
+        if self._dense_mode is not False:
+            # block-dense plan first (one batched MXU matmul per direction,
+            # data/batching.dense_adj round 5); gated off for good when the
+            # per-graph node count / HBM budget rules it out
+            from difformer_tpu.data.batching import dense_adj
+
+            adj = dense_adj(batch)
+            if adj is None:
+                self._dense_mode = False
+            else:
+                self._dense_mode = True
+                d["dense_adj"] = jnp.asarray(adj)
+                return d
         if self._knn_mode is not False:
             # k-in-regular datasets (kNN builders) get the scatter-free
             # dense conv plan; the first non-regular batch (radius graphs)

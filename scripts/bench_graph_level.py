@@ -235,9 +235,22 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
     sorted_edges = bool(b.edges_sorted)
     from difformer_tpu.data.batching import regular_knn_table
 
-    knn_t = regular_knn_table(b)
+    # conv plan ladder (BENCH_GL_PLAN ∈ auto|dense|knn|edge for A/Bs):
+    # block-dense batched-matmul adjacency (MXU, round 5) ≻ knn gather
+    # table ≻ masked edge list
+    from difformer_tpu.data.batching import dense_adj
+
+    plan = os.environ.get("BENCH_GL_PLAN", "auto")
+    adj = dense_adj(b) if plan in ("auto", "dense") else None
+    if adj is not None:
+        adj = jnp.asarray(adj)
+    knn_t = (regular_knn_table(b)
+             if adj is None and plan in ("auto", "knn") else None)
     if knn_t is not None:
-        knn_t = (jnp.asarray(knn_t[0]), jnp.asarray(knn_t[1]))
+        # keep the transposed (out-edge) table too — it is what makes the
+        # backward a dense gather (ops.graph_ops.knn_table_conv) instead
+        # of a take-VJP scatter
+        knn_t = tuple(None if t is None else jnp.asarray(t) for t in knn_t)
     variables = model.init(
         jax.random.PRNGKey(0), bd["node_feat"], bd["node_mask"],
         bd["n_nodes"], bd["senders"], bd["receivers"], None,
@@ -264,7 +277,7 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
                           bd["n_nodes"], bd["senders"], bd["receivers"],
                           None, bd["edge_mask"], train=False,
                           indices_are_sorted=sorted_edges,
-                          knn_table=knn_t)
+                          knn_table=knn_t, dense_adj=adj)
         return optax.sigmoid_binary_cross_entropy(
             out.reshape(-1), bd["labels"].reshape(-1)).mean()
 
@@ -314,21 +327,42 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
     # ---- roofline ---------------------------------------------------------
     dtype_bytes = 2 if dtype == "bfloat16" else 4
     t_row = calib["base_ns"] * 1e-9 + HID * dtype_bytes / calib["gbps"]
-    t_gather = LAYERS * 2 * e_real * t_row          # fwd + bwd edge gathers
+    if adj is not None:
+        # block-dense conv: no gathers — charge the adjacency HBM stream
+        # (A fwd + A^T bwd per layer, read at compute dtype) and its
+        # batched-matmul MXU flops instead of the per-row gather floor
+        t_gather = 0.0
+        t_adj = LAYERS * 2 * B * M * M * dtype_bytes / bench_mod.HBM_GBPS
+        conv_flops = LAYERS * 2 * 2 * B * M * M * HID   # fwd + bwd dv
+    else:
+        t_gather = LAYERS * 2 * e_real * t_row      # fwd + bwd edge gathers
+        t_adj = 0.0
+        conv_flops = 0
     flops = 2 * B * M * (16 * HID + HID)            # in/out MLP
     flops += LAYERS * 2 * B * M * HID * HID * (3 + 2)   # proj + kv/num
     t_mxu = 3 * flops / bench_mod.MXU_FLOPS
+    t_mxu += conv_flops / bench_mod.MXU_FLOPS
+    # activation streaming (same convention as bench.roofline_account):
+    # q/k/v projections at 5 HBM passes each (fwd write+read, cotangent
+    # write+read, primal re-read), 2 branch outputs at 4, plus a lump of
+    # 8 [B, M, HID] passes for LN/residual/relu/dropout/layer IO
+    act_bytes = B * M * HID * dtype_bytes
+    t_act = LAYERS * (5 * 3 + 4 * 2 + 8) * act_bytes / bench_mod.HBM_GBPS
     t_vpu = t_stream = 0.0
     if kernel == "sigmoid":
         pairs = float(B) * M * M
         t_vpu = LAYERS * pairs / bench_mod.SIGMOID_VPU_PAIRS
         t_stream = LAYERS * 2 * pairs * 4 / bench_mod.HBM_GBPS
         t_mxu += LAYERS * 3 * 2 * 2 * pairs * HID / bench_mod.MXU_FLOPS
-    floor = t_gather + t_mxu + t_vpu + t_stream
+    floor = t_gather + t_adj + t_mxu + t_act + t_vpu + t_stream
     roofline = {
+        "conv_plan": ("dense" if adj is not None
+                      else "knn-table" if knn_t is not None else "edge-list"),
         "gather_ms": round(t_gather * 1e3, 2),
-        "gathered_rows_per_layer": 2 * e_real,
+        "adj_stream_ms": round(t_adj * 1e3, 2),
+        "gathered_rows_per_layer": (0 if adj is not None else 2 * e_real),
         "mxu_ms": round(t_mxu * 1e3, 2),
+        "act_stream_ms": round(t_act * 1e3, 2),
         "vpu_sigmoid_ms": round(t_vpu * 1e3, 2),
         "score_stream_ms": round(t_stream * 1e3, 2),
         "roofline_ms": round(floor * 1e3, 2),
@@ -337,7 +371,7 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
 
     return {
         "graph": f"graph-level-{kernel}", "heads": 1,
-        "impl": f"padded-batch-B{batch}",
+        "impl": f"padded-batch-B{batch}-{roofline['conv_plan']}",
         "dense_coverage": None,
         "edges_per_s": round(e_real * LAYERS / t_fast, 1),
         "graphs_per_s": round(graphs_per_s, 1),

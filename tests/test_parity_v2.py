@@ -227,3 +227,94 @@ def test_knn_table_conv_weighted_and_vjp(rng):
     dv_a = jax.vjp(fwd_ad, v)[1](dg)[0]
     np.testing.assert_allclose(np.asarray(dv_t), np.asarray(dv_a),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_v2_dense_adj_conv_matches_edge_list(rng):
+    """round 5: the block-dense conv plan (data/batching.dense_adj — one
+    batched MXU matmul per direction) equals the masked edge-list
+    gcn_conv path in forward AND gradient, including per-edge weights and
+    duplicate-edge accumulation."""
+    from difformer_tpu.data.batching import dense_adj
+    from difformer_tpu.data.transforms import knn_graph
+
+    xs, eis, ews = [], [], []
+    for n in (9, 14, 11):
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        xs.append(np.concatenate(
+            [rng.normal(size=(n, 5)).astype(np.float32), pos], axis=1))
+        ei = knn_graph(pos, 4, include_self=True)
+        # duplicate one edge: dense_adj must accumulate like segment_sum
+        ei = np.concatenate([ei, ei[:, :1]], axis=1)
+        eis.append(ei)
+        ews.append(rng.uniform(0.5, 1.5, ei.shape[1]).astype(np.float32))
+    batch = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0], edge_weights=ews)
+    A = dense_adj(batch)
+    assert A is not None
+    B, M = batch.node_feat.shape[:2]
+    assert A.shape == (B, M, M)
+
+    model = DIFFormerV2(hidden_channels=16, out_channels=4, num_layers=2,
+                        dropout=0.0)
+    args = (jnp.asarray(batch.node_feat), jnp.asarray(batch.node_mask),
+            jnp.asarray(batch.n_nodes), jnp.asarray(batch.senders),
+            jnp.asarray(batch.receivers), jnp.asarray(batch.edge_weight),
+            jnp.asarray(batch.edge_mask))
+    params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
+    out_e = model.apply({"params": params}, *args, train=False)
+    out_d = model.apply({"params": params}, *args, train=False,
+                        dense_adj=jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_e),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_e(p):
+        return jnp.sum(model.apply({"params": p}, *args, train=False) ** 2)
+
+    def loss_d(p):
+        return jnp.sum(model.apply({"params": p}, *args, train=False,
+                                   dense_adj=jnp.asarray(A)) ** 2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.grad(loss_e)(params)),
+                    jax.tree_util.tree_leaves(jax.grad(loss_d)(params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_dense_adj_gating():
+    """dense_adj declines when M exceeds max_m or B·M² exceeds the HBM
+    budget (large per-graph node counts stay on the gather plans)."""
+    from difformer_tpu.data.batching import dense_adj
+
+    rng = np.random.default_rng(0)
+    xs = [rng.normal(size=(20, 4)).astype(np.float32) for _ in range(3)]
+    eis = [np.stack([np.arange(20), np.roll(np.arange(20), 1)]).astype(
+        np.int64) for _ in range(3)]
+    b = pad_graph_batch(xs, eis, [0.0, 1.0, 0.0])
+    assert dense_adj(b) is not None
+    assert dense_adj(b, max_m=8) is None
+    assert dense_adj(b, budget_bytes=100) is None
+
+
+def test_graph_level_trainer_probes_dense_plan(rng):
+    """GraphLevelTrainer elects the block-dense plan on small-graph
+    datasets and its fit still trains."""
+    from difformer_tpu.nn import GraphLevelModel
+    from difformer_tpu.train.graph_level import GraphLevelTrainer
+    from difformer_tpu.data.transforms import knn_graph
+
+    dataset = []
+    for i in range(24):
+        n = int(rng.integers(8, 14))
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        x = np.concatenate(
+            [rng.normal(size=(n, 5)).astype(np.float32), pos], axis=1)
+        ei = knn_graph(pos, 4, include_self=True)
+        dataset.append((x, ei, float(i % 2)))
+    enc = DIFFormerV2(hidden_channels=16, out_channels=16, num_layers=2,
+                      dropout=0.0)
+    model = GraphLevelModel(encoder=enc, out_channels=1)
+    tr = GraphLevelTrainer(model, dataset, batch_size=8, metric="acc")
+    split = {"train": np.arange(16), "valid": np.arange(16, 20),
+             "test": np.arange(20, 24)}
+    res = tr.fit(split, epochs=2, runs=1)
+    assert tr._dense_mode is True
+    assert 0.0 <= res[0]["test"] <= 1.0
