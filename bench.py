@@ -1201,6 +1201,21 @@ def main():
                     print(f"# [graph-level {kern}] failed ({err}); "
                           f"continuing without it", file=sys.stderr,
                           flush=True)
+        if os.environ.get("BENCH_TEMPORAL", "1") == "1":
+            # temporal-track row (round 5): the one track shape the sweep
+            # was missing — scanned whole-epoch engine vs the reference's
+            # per-snapshot dispatch loop, wikimath-shaped synthetic
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import bench_temporal
+
+            try:
+                rows.append(bench_temporal.run_config(
+                    jax, T=int(os.environ.get("BENCH_TEMPORAL_T", 200)),
+                    n=int(os.environ.get("BENCH_TEMPORAL_N", 1024))))
+            except Exception as err:
+                print(f"# [temporal] failed ({err}); continuing without it",
+                      file=sys.stderr, flush=True)
         if os.environ.get("BENCH_SIGMOID", "1") == "1":
             # one row per N (default: the reference's sigmoid scale AND a
             # scale where its dense path OOMs — VERDICT r2 item 1), each in

@@ -326,26 +326,34 @@ SYNMOL_ATOM_TYPES = ["C", "N", "O", "S", "F", "P", "Cl", "Br", "Na", "Ca",
 
 
 def _synmol_positions(raw_dir, idx, smiles, seed):
-    """3-D conformer positions for molecule ``idx``. RDKit path = the
-    reference's ETKDG embed + MMFF optimize (synmol.py:96-107); without
-    RDKit, a user-provided ``positions.npz`` (object array 'pos' of [n,3]
-    arrays, or per-molecule 'pos_{idx}' keys) substitutes. Returns None when
-    embedding fails (the reference skips those molecules)."""
+    """3-D conformer positions for molecule ``idx``. Ladder:
+
+    1. RDKit = the reference's ETKDG embed + MMFF optimize
+       (synmol.py:96-107) — parity-grade when the package is present;
+    2. user-provided ``positions.npz`` (object array 'pos' of [n,3]
+       arrays, or per-molecule 'pos_{idx}' keys);
+    3. dependency-free fallback: ``data/smiles.smiles_conformer``
+       (distance-geometry embed + spring relaxation — plausible geometry
+       for the kNN graph, documented deviation from MMFF minima).
+
+    Returns None when embedding fails (the reference skips those
+    molecules)."""
     try:
         from rdkit import Chem
         from rdkit.Chem import AllChem
     except ImportError:
         pos_file = os.path.join(raw_dir, "positions.npz")
-        if not os.path.exists(pos_file):
-            raise ImportError(
-                "SynMol conformer generation requires RDKit "
-                "(synmol.py:96-107); alternatively provide precomputed "
-                f"coordinates at {pos_file}"
-            )
-        with np.load(pos_file, allow_pickle=True) as f:
-            if f"pos_{idx}" in f.files:
-                return np.asarray(f[f"pos_{idx}"], np.float32)
-            return np.asarray(f["pos"][idx], np.float32)
+        if os.path.exists(pos_file):
+            with np.load(pos_file, allow_pickle=True) as f:
+                if f"pos_{idx}" in f.files:
+                    return np.asarray(f[f"pos_{idx}"], np.float32)
+                return np.asarray(f["pos"][idx], np.float32)
+        from difformer_tpu.data.smiles import SmilesError, smiles_conformer
+
+        try:
+            return smiles_conformer(smiles, seed=seed)
+        except SmilesError:
+            return None
     mol = Chem.MolFromSmiles(smiles)
     m = Chem.AddHs(mol)
     if AllChem.EmbedMolecule(m, randomSeed=seed) < 0:
