@@ -163,7 +163,8 @@ def dp_flow():
 
     batches = list(shard_batches(
         graphs, np.arange(len(graphs)), per_device_batch=2, n_devices=G,
-        max_nodes=max_nodes, max_edges=max_edges))
+        max_nodes=max_nodes, max_edges=max_edges,
+        dense_plan=True))   # r5 block-dense conv plan rides the DP shards
     b0 = jax.tree_util.tree_map(lambda t: jnp.asarray(t[0]), batches[0])
     gvars = gmodel.init(
         jax.random.PRNGKey(0), b0.node_feat, b0.node_mask, b0.n_nodes,
