@@ -184,8 +184,10 @@ def calibrate_gather(jax, *, n=131072, k=32, steps=8, reps=3):
 
 
 def _real_edges(ell_graph):
-    """Non-padding edge slots of an EllGraph (weight==0 marks padding)."""
-    return int(sum(int((np.asarray(w) != 0).sum()) for w in ell_graph.weight))
+    """Non-padding edge slots of an EllGraph (weight==0 marks padding).
+    Counts on-device (scalar reduction) — ``np.asarray`` here would fetch
+    hundreds of MB of weight tables to host at proteins density."""
+    return int(sum(int((w != 0).sum()) for w in ell_graph.weight))
 
 
 def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
@@ -242,16 +244,17 @@ def roofline_account(ell, *, impl, e, layers, heads, d, dtype_bytes, n,
         elif isinstance(dct, BsrDirection):
             res_edges.append(
                 _real_edges(dct.residual) if dct.residual is not None else 0)
-            dense_bytes += int(np.asarray(dct.blocks).nbytes)
+            dense_bytes += (int(np.prod(dct.blocks.shape))
+                            * np.dtype(dct.blocks.dtype).itemsize)
             dense_flops_per_apply += (
                 2 * dct.n_blocks * dct.tile * dct.tile * width)
         elif isinstance(dct, BsrBuckets):
             res_edges.append(
                 _real_edges(dct.residual) if dct.residual is not None else 0)
             for b in dct.blocks:
-                ba = np.asarray(b)
-                dense_bytes += int(ba.nbytes)
-                slots = int(np.prod(ba.shape[:2]))
+                dense_bytes += (int(np.prod(b.shape))
+                                * np.dtype(b.dtype).itemsize)
+                slots = int(np.prod(b.shape[:2]))
                 dense_flops_per_apply += (
                     2 * slots * dct.tile * dct.tile * width)
     if not res_edges:          # naive / no prebuilt operator: all edges
@@ -494,43 +497,53 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
     labels = jnp.asarray(y)
     tx = torch_adam(1e-2, 0.0)
 
-    ell = None
-    t0 = time.perf_counter()
-    if impl == "ell":
-        from difformer_tpu.ops.ell import build_ell_gcn
+    # NOTE (round 5): the operator BUILD is deferred until after the naive
+    # measurement — at proteins density the BSR blocks alone are ~7 GB and
+    # their coexistence with the naive step OOM'd the naive, the trainer
+    # probe, and (via leaked executables) every later sweep row
+    def build_operator(impl_label):
+        ell = None
+        t0 = time.perf_counter()
+        if impl == "ell":
+            from difformer_tpu.ops.ell import build_ell_gcn
 
-        ell = build_ell_gcn(s_sorted, r_sorted, n)
-        print(f"# ELL built in {time.perf_counter() - t0:.1f}s "
-              f"buckets={ell[0].bucket_sizes}", file=sys.stderr, flush=True)
-    elif impl == "bsr":
-        from difformer_tpu.ops.bsr import build_bsr_bucketed_gcn, build_bsr_gcn
+            ell = build_ell_gcn(s_sorted, r_sorted, n)
+            print(f"# ELL built in {time.perf_counter() - t0:.1f}s "
+                  f"buckets={ell[0].bucket_sizes}", file=sys.stderr,
+                  flush=True)
+        elif impl == "bsr":
+            from difformer_tpu.ops.bsr import (
+                build_bsr_bucketed_gcn,
+                build_bsr_gcn,
+            )
 
-        kw = {}
-        if os.environ.get("BENCH_BLOCK_BF16", "1") == "1":
-            kw["block_dtype"] = jnp.bfloat16  # same step time, half HBM
-        if os.environ.get("BENCH_RES_TIGHT") == "0":
-            kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
-        # Kb-bucketed layout (BsrBuckets) with the on-chip-calibrated
-        # occupancy threshold (bucketed_min_edges): measured 100.0 ms vs
-        # the padded+cap layout's 115.4 ms on the powerlaw headline
-        # (min_edges sweep record in BENCH_NOTES.md). A/B knobs:
-        # BENCH_LAYOUT=padded, BENCH_MIN_EDGES, BENCH_BUDGET_GB.
-        if os.environ.get("BENCH_LAYOUT", "bucketed") == "bucketed":
-            if "BENCH_BUDGET_GB" in os.environ:
-                kw["budget_bytes"] = (
-                    float(os.environ["BENCH_BUDGET_GB"]) * 2 ** 30)
-            if "BENCH_MIN_EDGES" in os.environ:
-                kw["min_edges"] = int(os.environ["BENCH_MIN_EDGES"])
-            ell = build_bsr_bucketed_gcn(s_sorted, r_sorted, n, tile=tile,
-                                         verbose=True, **kw)
-            impl_label += "-bucketed"
-        else:
-            ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
-                                verbose=True, **kw)
-        print(f"# BSR built in {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
+            kw = {}
+            if os.environ.get("BENCH_BLOCK_BF16", "1") == "1":
+                kw["block_dtype"] = jnp.bfloat16  # same step, half HBM
+            if os.environ.get("BENCH_RES_TIGHT") == "0":
+                kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
+            # Kb-bucketed layout (BsrBuckets) with the on-chip-calibrated
+            # occupancy threshold (bucketed_min_edges): measured 100.0 ms
+            # vs the padded+cap layout's 115.4 ms on the powerlaw headline
+            # (min_edges sweep record in BENCH_NOTES.md). A/B knobs:
+            # BENCH_LAYOUT=padded, BENCH_MIN_EDGES, BENCH_BUDGET_GB.
+            if os.environ.get("BENCH_LAYOUT", "bucketed") == "bucketed":
+                if "BENCH_BUDGET_GB" in os.environ:
+                    kw["budget_bytes"] = (
+                        float(os.environ["BENCH_BUDGET_GB"]) * 2 ** 30)
+                if "BENCH_MIN_EDGES" in os.environ:
+                    kw["min_edges"] = int(os.environ["BENCH_MIN_EDGES"])
+                ell = build_bsr_bucketed_gcn(s_sorted, r_sorted, n,
+                                             tile=tile, verbose=True, **kw)
+                impl_label += "-bucketed"
+            else:
+                ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
+                                    verbose=True, **kw)
+            print(f"# BSR built in {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return ell, impl_label
 
-    def make_multi_step(senders, receivers, sorted_, use_ell=True,
+    def make_multi_step(senders, receivers, sorted_, ell_op=None,
                         use_model=None):
         mdl = use_model if use_model is not None else model
         s = jnp.asarray(senders)
@@ -561,8 +574,7 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
             )
             return params, opt_state, ls[-1]
 
-        return lambda p, o: multi(p, o, xs, s, r, labels,
-                                  ell if use_ell else None)
+        return lambda p, o: multi(p, o, xs, s, r, labels, ell_op)
 
     variables = model.init(
         jax.random.PRNGKey(0), xs, jnp.asarray(s_sorted[:128]),
@@ -589,15 +601,14 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
               f"(min of {reps})", file=sys.stderr, flush=True)
         return best
 
-    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True), impl)
-    edges_per_s = e * LAYERS / t_fast
-
+    # naive FIRST, with no prebuilt operator resident (see build_operator
+    # note); then free its executable before the operator build
     naive_eps = None
     naive_note = None
     if run_naive:
         try:
             t_naive = timeit(
-                make_multi_step(s_uns, r_uns, False, use_ell=False,
+                make_multi_step(s_uns, r_uns, False,
                                 use_model=naive_model), "naive",
                 reps=2)
             naive_eps = e * LAYERS / t_naive
@@ -616,6 +627,14 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
         # cached constants were measured at the default shape only — at any
         # other (n, e) report null rather than a wrong-shape ratio
         naive_eps = NAIVE_EDGES_PER_S[(graph, heads)]
+    import gc
+
+    gc.collect()   # drop the naive executable + its donated buffers
+
+    ell, impl_label = build_operator(impl_label)
+    t_fast = timeit(make_multi_step(s_sorted, r_sorted, True, ell_op=ell),
+                    impl)
+    edges_per_s = e * LAYERS / t_fast
 
     dtype_bytes = 2 if dtype == "bfloat16" else 4
     roofline = roofline_account(
@@ -645,6 +664,7 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
     if with_trainer:
         # product-path (FullBatchTrainer/cli engine) throughput on the same
         # graph + operator + model — VERDICT r3 item 1
+        gc.collect()   # free the bench multi-step executable first
         try:
             row["trainer"] = trainer_probe(
                 jax, model=model, ell=ell, x=x, s_sorted=s_sorted,
@@ -1125,6 +1145,16 @@ def main():
                              ("clustered", 8), ("powerlaw", 8)}
                        if tr_mode == "1" else set())
         rows = []
+
+        def row_gc():
+            # drop every compiled executable + its captured constants
+            # between rows — one row's leaked HBM (7 GB of BSR blocks at
+            # proteins density, round 5) must not OOM the rest of the sweep
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
+
         for g, h in matrix:
             wt = (g, h) in trainer_set
             try:
@@ -1133,8 +1163,10 @@ def main():
             except Exception as err:   # e.g. HBM OOM at E*H*D activations
                 print(f"# [{g} H={h}] failed ({err}); retrying with remat",
                       file=sys.stderr, flush=True)
+                row_gc()
                 rows.append(run_config(jax, graph=g, heads=h, impl="auto",
                                        remat=True, with_trainer=wt, **common))
+            row_gc()
         if os.environ.get("BENCH_PROTEINS_DENSITY", "1") == "1":
             # VERDICT r4 item 1: full-graph row at REAL ogbn-proteins edge
             # density — N=131072, E≈39.5M (the bench default E=4.2M matches
@@ -1154,6 +1186,7 @@ def main():
             except Exception as err:
                 print(f"# [proteins-density] failed ({err}); retrying with "
                       f"remat", file=sys.stderr, flush=True)
+                row_gc()
                 try:
                     rows.append(run_config(
                         jax, graph="powerlaw", heads=1, impl="auto",
@@ -1165,12 +1198,14 @@ def main():
                     print(f"# [proteins-density] failed again ({err2}); "
                           f"continuing without it", file=sys.stderr,
                           flush=True)
+            row_gc()
         if os.environ.get("BENCH_MINIBATCH", "1") == "1":
             try:
                 rows.append(run_minibatch_config(jax, n=n, e=e, dtype=dtype))
             except Exception as err:
                 print(f"# [minibatch] failed ({err}); continuing without it",
                       file=sys.stderr, flush=True)
+            row_gc()
             if os.environ.get("BENCH_PROTEINS_DENSITY", "1") == "1":
                 # the same proteins-density shape through the minibatch
                 # engine — the reference's ONLY way to run this density
@@ -1183,6 +1218,7 @@ def main():
                     print(f"# [proteins-density-minibatch] failed ({err}); "
                           f"continuing without it", file=sys.stderr,
                           flush=True)
+                row_gc()
         if os.environ.get("BENCH_GRAPH_LEVEL", "1") == "1":
             # particle-track rows with the node-track honesty machinery
             # (VERDICT r3 item 6): reference-structure naive + roofline,
@@ -1201,6 +1237,7 @@ def main():
                     print(f"# [graph-level {kern}] failed ({err}); "
                           f"continuing without it", file=sys.stderr,
                           flush=True)
+                row_gc()
         if os.environ.get("BENCH_TEMPORAL", "1") == "1":
             # temporal-track row (round 5): the one track shape the sweep
             # was missing — scanned whole-epoch engine vs the reference's
