@@ -239,18 +239,25 @@ def simple_attention_padded(q_pad, k_pad, v_pad, node_mask, n_nodes):
     reference used scatter_add_ + pad round-trips per layer.
     """
     mask = node_mask[..., None, None].astype(q_pad.dtype)
-    q_pad = _frobenius_normalize(q_pad * mask) * mask
-    k_pad = _frobenius_normalize(k_pad * mask) * mask
+    q_pad = q_pad * mask
+    k_pad = k_pad * mask
     v_pad = v_pad * mask
+    # Scalar-folded Frobenius normalization (round 5, mirrors the node
+    # track): 1/(‖q‖·‖k‖) rides the small per-graph aggregates instead of
+    # materializing two normalized [B, M, H, D] copies (+ their AD
+    # cotangents) — float reassociation only vs the reference order.
+    inv_q = 1.0 / jnp.sqrt(jnp.sum(jnp.square(q_pad.astype(jnp.float32))))
+    inv_k = 1.0 / jnp.sqrt(jnp.sum(jnp.square(k_pad.astype(jnp.float32))))
+    scale = (inv_q * inv_k).astype(q_pad.dtype)
 
     # Per-graph aggregates.
     kv = jnp.einsum("bmhk,bmhd->bhkd", k_pad, v_pad)         # [B, H, K, D]
     k_sum = jnp.sum(k_pad, axis=1)                            # [B, H, K]
     v_sum = jnp.sum(v_pad, axis=1)                            # [B, H, D]
 
-    numerator = jnp.einsum("bmhk,bhkd->bmhd", q_pad, kv)
+    numerator = jnp.einsum("bmhk,bhkd->bmhd", q_pad, kv * scale)
     numerator = numerator + v_sum[:, None, :, :]
-    denominator = jnp.einsum("bmhk,bhk->bmh", q_pad, k_sum)
+    denominator = jnp.einsum("bmhk,bhk->bmh", q_pad, k_sum * scale)
     denominator = denominator + n_nodes.astype(q_pad.dtype)[:, None, None]
     # Padded slots/graphs would be 0/0 → NaN. The denominator must be made
     # safe BEFORE the divide (not just masked after): jnp.where keeps the

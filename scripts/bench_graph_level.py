@@ -217,6 +217,12 @@ def run_config(jax, *, batch=1024, n_node=100, steps=8, kernel="simple",
     from difformer_tpu.train.optim import torch_adam
 
     calib = calib or bench_mod.CALIB
+    # amortize the per-dispatch tunnel latency (~20-40 ms through axon,
+    # BENCH_NOTES): at ~3-6 ms/step a scan of 8 steps was ~50% dispatch
+    # overhead (profiled device time 2.65 ms vs 5.9 ms wall per step,
+    # round 5); 64 scanned steps bound the overhead at <10% for fast AND
+    # naive alike
+    steps = max(steps, int(os.environ.get("BENCH_GL_STEPS", 64)))
     LAYERS, HID = 2, 64
     graphs = build_graphs(batch, n_node, seed=seed)
     b = pad_graph_batch([g[0] for g in graphs], [g[1] for g in graphs],
