@@ -127,7 +127,12 @@ def run_config(jax, *, T=200, n=1024, epochs=3, seed=0, run_naive=True):
         "naive_note": ("reference structure measured same-invocation: one "
                        "value_and_grad dispatch per snapshot + host "
                        "gradient accumulation (spatial-temporal/"
-                       "main.py:94-121)" if t_naive else
+                       "main.py:94-121). Caveat: per-dispatch latency "
+                       "through the tunneled chip (~10-25 ms) is several "
+                       "times a local host's, which inflates the ratio; "
+                       "the structural advantage (1 dispatch/epoch vs T) "
+                       "holds on local hardware but the measured multiple "
+                       "would be smaller there" if t_naive else
                        "naive comparator disabled"),
         "roofline": None,   # dispatch/latency-bound by design (docstring)
     }
