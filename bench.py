@@ -522,6 +522,12 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
                 kw["block_dtype"] = jnp.bfloat16  # same step, half HBM
             if os.environ.get("BENCH_RES_TIGHT") == "0":
                 kw["residual_kwargs"] = {}  # loose bucketing (pre-tuning)
+            # int8 scaled-count blocks (round 5, bucketed layout only):
+            # rank-1 GCN tiles store exact int8 edge counts + O(N) degree
+            # scaling at matvec — half the bf16 block stream, 2x the tile
+            # coverage per budget byte. BENCH_BLOCK_INT8=0 reverts for A/B.
+            int8_kw = ("auto" if os.environ.get("BENCH_BLOCK_INT8", "1")
+                       == "1" else False)
             # Kb-bucketed layout (BsrBuckets) with the on-chip-calibrated
             # occupancy threshold (bucketed_min_edges): measured 100.0 ms
             # vs the padded+cap layout's 115.4 ms on the powerlaw headline
@@ -534,8 +540,11 @@ def run_config(jax, *, graph, heads, impl="auto", label=None, n=N_DEF,
                 if "BENCH_MIN_EDGES" in os.environ:
                     kw["min_edges"] = int(os.environ["BENCH_MIN_EDGES"])
                 ell = build_bsr_bucketed_gcn(s_sorted, r_sorted, n,
-                                             tile=tile, verbose=True, **kw)
+                                             tile=tile, verbose=True,
+                                             scaled_int8=int8_kw, **kw)
                 impl_label += "-bucketed"
+                if ell[0].inv_scale is not None:
+                    impl_label += "-int8"
             else:
                 ell = build_bsr_gcn(s_sorted, r_sorted, n, tile=tile,
                                     verbose=True, **kw)

@@ -77,12 +77,15 @@ class BsrDirection:
 
 def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
                  min_edges, block_dtype=np.float32,
-                 max_blocks_per_row=None):
+                 max_blocks_per_row=None, fill_ones=False):
     """Select tiles with ≥min_edges edges and materialize them as a
     tile-level ELL: returns ``(blocks [Ntr,Kb,T,T], block_col [Ntr,Kb],
     dense_edge_mask [E])``. Accumulation is always f32; ``block_dtype``
     converts on the host so the device transfer already streams the
-    narrow type.
+    narrow type. ``fill_ones=True`` stores int8 EDGE COUNTS instead of
+    values (the rank-1 scaled-count format, see :class:`BsrBuckets`);
+    raises :class:`_Int8CountOverflow` if any (row, col) pair holds >127
+    parallel edges.
 
     ``max_blocks_per_row`` caps Kb: a block-row keeps only its
     ``max_blocks_per_row`` densest tiles, the rest of its edges spill to
@@ -156,8 +159,12 @@ def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
         np.add.at(blocks,
                   (tr[e], slot_lookup[edge_key[e]],
                    owner[e] % tile, point_to[e] % tile),
-                  values[e])
-    if np.dtype(block_dtype) != np.float32:
+                  1.0 if fill_ones else values[e])
+    if fill_ones:
+        if blocks.max(initial=0.0) > 127:
+            raise _Int8CountOverflow(">127 parallel edges in a dense tile")
+        blocks = blocks.astype(np.int8)
+    elif np.dtype(block_dtype) != np.float32:
         blocks = blocks.astype(block_dtype)
     return blocks, block_col, dense_edge
 
@@ -289,6 +296,10 @@ bsr_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 _KB_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
+class _Int8CountOverflow(Exception):
+    """A dense tile held >127 parallel edges — int8 counts would wrap."""
+
+
 @struct.dataclass
 class BsrBuckets:
     """One direction of the hybrid with **Kb-bucketed** dense blocks.
@@ -310,19 +321,38 @@ class BsrBuckets:
     block_col: Any     # tuple of int32 [m_b, kb_b]; 0 on padding
     row_tiles: Any     # tuple of int32 [m_b] owning row-tile ids (disjoint)
     residual: Optional[EllGraph]   # sparse-tile edges (per-edge ELL path)
+    # int8 scaled-count format (round 5, unweighted graphs only): GCN tile
+    # values are rank-1 — val[s→r] = inv√deg[r]·inv√deg[s] — so dense blocks
+    # store exact int8 edge COUNTS and the degree scaling rides two O(N)
+    # vector multiplies per matvec (x·inv before, out·inv after). Blocks
+    # stream HALF the bf16 bytes, so a fixed HBM budget buys ~2× the tile
+    # coverage; counts are exact where bf16 values quantized. ``inv_scale``
+    # is the sanitized [N] inv-sqrt-degree vector (None → blocks hold real
+    # values and no scaling is applied).
+    inv_scale: Optional[Any] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     tile: int = struct.field(pytree_node=False, default=256)
 
 
 def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
                               min_edges, block_dtype=np.float32,
-                              residual_kwargs=None, budget_bytes=None):
+                              residual_kwargs=None, budget_bytes=None,
+                              inv_scale=None):
     """out[owner] = Σ values · x[point_to] with Kb-bucketed dense tiles.
 
     ``budget_bytes`` caps the *raw content* bytes of kept blocks (per
     direction); tiles are kept densest-first, so the budget demotes the
     least profitable tiles globally instead of per-row (contrast
-    ``max_blocks_per_row`` in :func:`_dense_tiles`)."""
+    ``max_blocks_per_row`` in :func:`_dense_tiles`).
+
+    ``inv_scale``: [N] float array → int8 scaled-count blocks (see
+    :class:`BsrBuckets`): dense tiles store exact edge counts as int8 and
+    the rank-1 GCN scaling applies at matvec time. Requires every kept
+    tile's per-(row, col) multi-edge count ≤ 127 (falls back to
+    ``block_dtype`` values if exceeded); the residual ELL always stores
+    fully-scaled values, so only the dense part changes representation."""
+    use_int8 = inv_scale is not None
+    elem_bytes = 1 if use_int8 else np.dtype(block_dtype).itemsize
     ntr = -(-num_nodes // tile)
     tr = (owner // tile).astype(np.int64)
     tc = (point_to // tile).astype(np.int64)
@@ -330,7 +360,7 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
     counts = np.bincount(key, minlength=ntr * ntr)
     dkeys = np.flatnonzero(counts >= min_edges).astype(np.int64)
     if budget_bytes is not None and dkeys.size:
-        per_tile = tile * tile * np.dtype(block_dtype).itemsize
+        per_tile = tile * tile * elem_bytes
         max_tiles = max(int(budget_bytes // per_tile), 0)
         if dkeys.size > max_tiles:
             keep = np.argsort(-counts[dkeys], kind="stable")[:max_tiles]
@@ -381,8 +411,13 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
                 blocks,
                 (pos_of_row[e_tr[esel]], e_slot[esel],
                  owner[eb] % tile, point_to[eb] % tile),
-                values[eb])
-            if np.dtype(block_dtype) != np.float32:
+                1.0 if use_int8 else values[eb])
+            if use_int8:
+                if blocks.max(initial=0.0) > 127:
+                    raise _Int8CountOverflow(
+                        ">127 parallel edges in a dense tile")
+                blocks = blocks.astype(np.int8)
+            elif np.dtype(block_dtype) != np.float32:
                 blocks = blocks.astype(block_dtype)
             buckets.append((jnp.asarray(blocks), jnp.asarray(bcol),
                             jnp.asarray(rows.astype(np.int32))))
@@ -397,6 +432,8 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
         block_col=tuple(b[1] for b in buckets),
         row_tiles=tuple(b[2] for b in buckets),
         residual=residual,
+        inv_scale=(jnp.asarray(inv_scale, jnp.float32)
+                   if use_int8 else None),
         num_nodes=num_nodes,
         tile=tile,
     ), dense_edge
@@ -419,7 +456,7 @@ def bucketed_min_edges(tile: int, block_elem_bytes: int = 4) -> int:
 def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
                            *, tile=256, min_edges=None, verbose=False,
                            block_dtype=np.float32, residual_kwargs=None,
-                           budget_bytes=2.5 * 2 ** 30):
+                           budget_bytes=2.5 * 2 ** 30, scaled_int8="auto"):
     """GCN-normalized Â as a Kb-bucketed hybrid (see :class:`BsrBuckets`).
 
     Same contract as :func:`build_bsr_gcn` (returns ``(fwd, rev)`` for
@@ -427,29 +464,67 @@ def build_bsr_bucketed_gcn(senders, receivers, num_nodes, edge_weight=None,
     heavy-tailed graphs after :func:`degree_sorted_order` where the padded
     layout's hub cap binds. ``budget_bytes`` is raw kept-block content per
     direction (no padding waste to subtract — bucketing keeps waste under
-    the next ladder rung)."""
+    the next ladder rung).
+
+    ``scaled_int8``: ``'auto'`` (default) stores dense tiles as **int8 edge
+    counts** when the graph is unweighted — the rank-1 GCN normalization
+    ``val = inv√deg[r]·inv√deg[s]`` rides two O(N) vector multiplies at
+    matvec time instead of per-entry values (:class:`BsrBuckets`). Halves
+    the block HBM stream vs bf16 AND doubles the tile coverage a fixed
+    ``budget_bytes`` buys (the binding constraint at ogbn-proteins density,
+    BENCH_NOTES r5); counts are exact where bf16 values rounded. Weighted
+    graphs (``edge_weight`` given) keep per-entry values — their tiles are
+    not rank-1. ``True`` forces (raises on weighted graphs), ``False``
+    disables."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
+    if scaled_int8 == "auto":
+        scaled_int8 = edge_weight is None
+    elif scaled_int8 and edge_weight is not None:
+        raise ValueError("scaled_int8 requires an unweighted graph "
+                         "(weighted tiles are not rank-1)")
+    elem = 1 if scaled_int8 else np.dtype(block_dtype).itemsize
     if min_edges is None:
-        min_edges = bucketed_min_edges(
-            tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
+        min_edges = bucketed_min_edges(tile, block_elem_bytes=elem)
     if residual_kwargs is None:
         residual_kwargs = dict(min_bucket=8)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
-    fwd, de_f = _build_bucketed_direction(
-        senders, receivers, val, num_nodes, tile=tile, min_edges=min_edges,
-        block_dtype=block_dtype, residual_kwargs=residual_kwargs,
-        budget_bytes=budget_bytes)
-    rev, de_r = _build_bucketed_direction(
-        receivers, senders, val, num_nodes, tile=tile, min_edges=min_edges,
-        block_dtype=block_dtype, residual_kwargs=residual_kwargs,
-        budget_bytes=budget_bytes)
+    inv = None
+    if scaled_int8:
+        deg = np.bincount(receivers, minlength=num_nodes).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            inv = np.sqrt(1.0 / deg)
+        # zero-in-degree nodes: every incident edge value is nan→0 in
+        # _gcn_values; inv=0 reproduces that exactly
+        inv = np.nan_to_num(inv, nan=0.0, posinf=0.0).astype(np.float32)
+
+    def build(p, o):
+        nonlocal min_edges
+        try:
+            return _build_bucketed_direction(
+                p, o, val, num_nodes, tile=tile, min_edges=min_edges,
+                block_dtype=block_dtype, residual_kwargs=residual_kwargs,
+                budget_bytes=budget_bytes, inv_scale=inv)
+        except _Int8CountOverflow:
+            # >127 parallel edges somewhere — rare multigraph; rebuild with
+            # per-entry values (and the value-bytes occupancy threshold)
+            min_edges = bucketed_min_edges(
+                tile, block_elem_bytes=np.dtype(block_dtype).itemsize)
+            return _build_bucketed_direction(
+                p, o, val, num_nodes, tile=tile, min_edges=min_edges,
+                block_dtype=block_dtype, residual_kwargs=residual_kwargs,
+                budget_bytes=budget_bytes)
+
+    fwd, de_f = build(senders, receivers)
+    rev, de_r = build(receivers, senders)
     if verbose:
         for name, d, de in (("fwd", fwd, de_f), ("rev", rev, de_r)):
             nb = sum(int(np.prod(b.shape[:2])) for b in d.blocks)
             mb = sum(b.nbytes for b in d.blocks) / 1e6
             shapes = [tuple(b.shape[:2]) for b in d.blocks]
-            print(f"# bsr-bucketed[{name}]: slots={nb} ({mb:.0f} MB) "
+            fmt = "int8-count" if d.inv_scale is not None else str(
+                np.dtype(block_dtype))
+            print(f"# bsr-bucketed[{name}]: slots={nb} ({mb:.0f} MB, {fmt}) "
                   f"buckets={shapes} coverage={de.mean():.3f}",
                   file=sys.stderr, flush=True)
     return fwd, rev
@@ -460,17 +535,30 @@ def _bsr_bucketed_matvec(d: BsrBuckets, x):
     t = d.tile
     ntr = -(-d.num_nodes // t)
     pad = ntr * t - d.num_nodes
-    xt = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    xs = x
+    if d.inv_scale is not None:
+        # int8 count blocks: rank-1 GCN scaling as two O(N) vector
+        # multiplies (x·inv√deg before the blocks, out·inv√deg after);
+        # the residual ELL below runs on the RAW x — its values are
+        # fully scaled at build time
+        s = d.inv_scale.astype(x.dtype).reshape(
+            (-1,) + (1,) * (x.ndim - 1))
+        xs = x * s
+    xt = jnp.pad(xs, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     xt = xt.reshape((ntr, t) + trailing)
     out_t = jnp.zeros((ntr, t) + trailing, x.dtype)
     for blocks, bcol, rows in zip(d.blocks, d.block_col, d.row_tiles):
         m, kb = bcol.shape
         g = jnp.take(xt, bcol.reshape(-1), axis=0)
         g = g.reshape((m, kb, t) + trailing)
+        # int8 blocks convert on the fly inside the dot (the HBM read
+        # stays 1 byte/entry); f32/bf16 blocks cast as before
         ob = jnp.einsum("mkrc,mkc...->mr...", blocks.astype(x.dtype), g)
         out_t = out_t.at[rows].add(ob, indices_are_sorted=True,
                                    unique_indices=True)
     out = out_t.reshape((ntr * t,) + trailing)[: d.num_nodes]
+    if d.inv_scale is not None:
+        out = out * s
     if d.residual is not None:
         out = out + _ell_matvec(d.residual, x)
     return out
@@ -511,11 +599,20 @@ class BsrShard:
     SURVEY.md §2.6). All leaves have identical shapes across shards, as
     shard_map requires."""
 
-    blocks: Any       # f32 [Ntr_loc, Kb, T, T]
+    blocks: Any       # f32/int8 [Ntr_loc, Kb, T, T]
     block_col: Any    # int32 [Ntr_loc, Kb] global col-tile ids
     res_point: Any    # int32 [Er] global sender ids (0 on padding)
     res_owner: Any    # int32 [Er] local receiver ids, sorted (0 on padding)
     res_val: Any      # f32 [Er] (0 on padding)
+    # int8 scaled-count format (round 5, unweighted graphs; see
+    # :class:`BsrBuckets`): blocks hold exact int8 edge counts and the
+    # rank-1 GCN scaling applies at matvec time. ``inv_rows`` is this
+    # shard's inv√deg slice [rows_per]; ``inv_cols`` the full padded
+    # vector [pad_n] (replicated per shard — 4 B/node, cheaper than an
+    # extra all_gather in the conv's critical path and invisible to the
+    # comm-volume accounting). Both None → blocks hold real values.
+    inv_rows: Optional[Any] = None
+    inv_cols: Optional[Any] = None
     num_rows: int = struct.field(pytree_node=False, default=0)
     num_cols: int = struct.field(pytree_node=False, default=0)
     tile: int = struct.field(pytree_node=False, default=256)
@@ -524,7 +621,7 @@ class BsrShard:
 
 def build_bsr_gcn_sharded(senders, receivers, num_nodes, n_shards, *,
                           tile=256, min_edges=None, edge_weight=None,
-                          axis_name="graph"):
+                          axis_name="graph", scaled_int8="auto"):
     """Partition the hybrid operator into ``n_shards`` row slices.
 
     Returns ``(fwd, rev, rows_per_shard)`` where fwd/rev are
@@ -534,15 +631,33 @@ def build_bsr_gcn_sharded(senders, receivers, num_nodes, n_shards, *,
     ``n_shards · rows_per_shard`` (rows_per_shard is tile-aligned);
     features must be sharded with the same padding
     (``x_padded.reshape(n_shards, rows_per, F)``).
+
+    ``scaled_int8``: same contract as :func:`build_bsr_bucketed_gcn` —
+    ``'auto'`` stores int8 count blocks on unweighted graphs (half the
+    per-shard block HBM, same math via the rank-1 degree scaling).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
+    if scaled_int8 == "auto":
+        scaled_int8 = edge_weight is None
+    elif scaled_int8 and edge_weight is not None:
+        raise ValueError("scaled_int8 requires an unweighted graph")
     if min_edges is None:
-        min_edges = default_min_edges(tile)
+        min_edges = default_min_edges(
+            tile, block_elem_bytes=1 if scaled_int8 else 4)
     val = _gcn_values(senders, receivers, num_nodes, edge_weight)
 
     rows_per = -(-num_nodes // (n_shards * tile)) * tile
     pad_n = rows_per * n_shards
+
+    inv_pad = None
+    if scaled_int8:
+        deg = np.bincount(receivers, minlength=num_nodes).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            inv = np.sqrt(1.0 / deg)
+        inv = np.nan_to_num(inv, nan=0.0, posinf=0.0).astype(np.float32)
+        inv_pad = np.zeros(pad_n, np.float32)
+        inv_pad[:num_nodes] = inv
 
     def build_dir(point_to, owner):
         shards, n_res = [], []
@@ -550,7 +665,8 @@ def build_bsr_gcn_sharded(senders, receivers, num_nodes, n_shards, *,
             m = (owner // rows_per) == s
             blocks, block_col, dense_edge = _dense_tiles(
                 point_to[m], owner[m] - s * rows_per, val[m],
-                rows_per, pad_n, tile=tile, min_edges=min_edges)
+                rows_per, pad_n, tile=tile, min_edges=min_edges,
+                fill_ones=scaled_int8)
             r = ~dense_edge
             shards.append((blocks, block_col, point_to[m][r],
                            (owner[m] - s * rows_per)[r], val[m][r]))
@@ -572,16 +688,30 @@ def build_bsr_gcn_sharded(senders, receivers, num_nodes, n_shards, *,
             rv = np.pad(rv.astype(np.float32), (0, pe))
             out.append((blocks, block_col, rp, ro, rv))
         stack = [np.stack([o[i] for o in out]) for i in range(5)]
+        inv_kw = {}
+        if scaled_int8:
+            inv_kw = dict(
+                inv_rows=jnp.asarray(inv_pad.reshape(n_shards, rows_per)),
+                inv_cols=jnp.asarray(
+                    np.broadcast_to(inv_pad, (n_shards, pad_n)).copy()),
+            )
         return BsrShard(
             blocks=jnp.asarray(stack[0]), block_col=jnp.asarray(stack[1]),
             res_point=jnp.asarray(stack[2]), res_owner=jnp.asarray(stack[3]),
-            res_val=jnp.asarray(stack[4]),
+            res_val=jnp.asarray(stack[4]), **inv_kw,
             num_rows=rows_per, num_cols=pad_n, tile=tile,
             axis_name=axis_name,
         )
 
-    fwd = build_dir(senders, receivers)
-    rev = build_dir(receivers, senders)
+    try:
+        fwd = build_dir(senders, receivers)
+        rev = build_dir(receivers, senders)
+    except _Int8CountOverflow:
+        # rare multigraph (>127 parallel edges in one tile): value blocks
+        return build_bsr_gcn_sharded(
+            senders, receivers, num_nodes, n_shards, tile=tile,
+            min_edges=None, edge_weight=edge_weight, axis_name=axis_name,
+            scaled_int8=False)
     return fwd, rev, rows_per
 
 
@@ -591,11 +721,22 @@ def _bsr_shard_apply(d: BsrShard, x_full):
     t = d.tile
     ntc = d.num_cols // t
     kb = d.block_col.shape[1]
-    xt = x_full.reshape((ntc, t) + trailing)
+    xb = x_full
+    if d.inv_cols is not None:
+        # int8 count blocks: rank-1 GCN scaling — scale the gathered
+        # operand by inv√deg (cols), the block output by this shard's
+        # inv√deg slice (rows); the residual below runs on the RAW
+        # operand (its values are fully scaled at build time)
+        xb = x_full * d.inv_cols.reshape(
+            (-1,) + (1,) * len(trailing)).astype(x_full.dtype)
+    xt = xb.reshape((ntc, t) + trailing)
     g = jnp.take(xt, d.block_col.reshape(-1), axis=0)
     g = g.reshape((d.num_rows // t, kb, t) + trailing)
     out = jnp.einsum("nkrc,nkc...->nr...", d.blocks.astype(x_full.dtype), g)
     out = out.reshape((d.num_rows,) + trailing)
+    if d.inv_rows is not None:
+        out = out * d.inv_rows.reshape(
+            (-1,) + (1,) * len(trailing)).astype(x_full.dtype)
     # residual: wide-row gather + sorted local segment-sum
     from difformer_tpu.ops.segment import segment_sum
 

@@ -184,6 +184,47 @@ def test_bsr_sharded_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_bsr_sharded_int8_elected_and_matches_values():
+    """Unweighted sharded builds elect int8 count blocks; output matches
+    the value-block sharded build (same partition, same math)."""
+    from difformer_tpu.ops.bsr import (
+        build_bsr_gcn_sharded,
+        bsr_spmm_sharded,
+    )
+
+    n, tile, n_shards = 512, 32, 8
+    ei = _clustered(n, 64, p_in=0.25, n_cross=300)
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    f8, r8, rows_per = build_bsr_gcn_sharded(ei[0], ei[1], n, n_shards,
+                                             tile=tile, min_edges=6)
+    fv, rv, _ = build_bsr_gcn_sharded(ei[0], ei[1], n, n_shards,
+                                      tile=tile, min_edges=6,
+                                      scaled_int8=False)
+    assert f8.inv_rows is not None and f8.blocks.dtype == jnp.int8
+    assert fv.inv_rows is None and fv.blocks.dtype == jnp.float32
+    pad_n = rows_per * n_shards
+    xp = np.zeros((pad_n, 16), np.float32)
+    xp[:n] = x
+
+    mesh, shard_map, P = _shard_harness()
+
+    @jax.jit
+    def dist(fwd, rev, xp):
+        def body(fwd, rev, xp):
+            sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+            return bsr_spmm_sharded(sq(fwd), sq(rev), xp)
+
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P("graph"), P("graph"), P("graph")),
+                         out_specs=P("graph"))(fwd, rev, xp)
+
+    o8 = np.asarray(dist(f8, r8, jnp.asarray(xp)))[:n]
+    ov = np.asarray(dist(fv, rv, jnp.asarray(xp)))[:n]
+    np.testing.assert_allclose(o8, ov, rtol=1e-4, atol=1e-5)
+
+
 def test_bsr_sharded_grad_matches():
     from difformer_tpu.ops.bsr import (
         build_bsr_gcn, build_bsr_gcn_sharded, bsr_spmm, bsr_spmm_sharded)
@@ -386,10 +427,12 @@ def test_bucketed_budget_demotes_globally():
     perm = degree_sorted_order(ei[0], ei[1], n)
     s, r = perm[ei[0]], perm[ei[1]]
     x = np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)
-    full_f, full_r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8)
+    full_f, full_r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8,
+                                            scaled_int8=False)
     budget = 3 * tile * tile * 4            # room for only 3 f32 tiles
     cap_f, cap_r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8,
-                                          budget_bytes=budget)
+                                          budget_bytes=budget,
+                                          scaled_int8=False)
     n_full = sum(int(np.prod(b.shape[:2])) for b in full_f.blocks)
     # kept *content* tiles: count distinct (row, col) with nonzero blocks
     kept = sum(int((np.abs(np.asarray(b, np.float32)).sum((2, 3)) > 0).sum())
@@ -469,3 +512,83 @@ def test_bucketed_hub_row_wider_than_static_ladder():
     np.testing.assert_allclose(
         np.asarray(bsr_bucketed_spmm(fwd, rev, jnp.asarray(x))),
         np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 scaled-count blocks (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_int8_matches_values_and_dense():
+    """Unweighted graphs auto-elect int8 count blocks; forward and gradient
+    match the value-block build and the dense reference."""
+    n, tile = 512, 64
+    ei = _clustered(n, tile, seed=13)
+    x = np.random.default_rng(2).normal(size=(n, 8)).astype(np.float32)
+    f8, r8 = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile, min_edges=8)
+    fv, rv = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile, min_edges=8,
+                                    scaled_int8=False)
+    assert f8.inv_scale is not None and fv.inv_scale is None
+    assert all(b.dtype == jnp.int8 for b in f8.blocks)
+    o8 = np.asarray(bsr_bucketed_spmm(f8, r8, jnp.asarray(x)))
+    np.testing.assert_allclose(o8, np.asarray(_ref(x, ei, n)),
+                               rtol=2e-5, atol=2e-5)
+    g8 = jax.grad(lambda x: jnp.sum(
+        jnp.sin(bsr_bucketed_spmm(f8, r8, x))))(jnp.asarray(x))
+    gv = jax.grad(lambda x: jnp.sum(
+        jnp.sin(bsr_bucketed_spmm(fv, rv, x))))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(gv),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_scaled_int8_budget_buys_4x_tiles():
+    """At a fixed byte budget, int8 count blocks keep ~4× the tiles of f32
+    value blocks (the whole point: coverage per HBM byte)."""
+    n, tile = 512, 64
+    ei = _powerlaw(n, 8000, seed=5)
+    perm = degree_sorted_order(ei[0], ei[1], n)
+    s, r = perm[ei[0]], perm[ei[1]]
+    budget = 3 * tile * tile * 4
+    cap_v, _ = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8,
+                                      budget_bytes=budget,
+                                      scaled_int8=False)
+    cap_8, cap_8r = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8,
+                                           budget_bytes=budget)
+    n_v = sum(int(np.prod(b.shape[:2])) for b in cap_v.blocks)
+    n_8 = sum(int(np.prod(b.shape[:2])) for b in cap_8.blocks)
+    assert n_8 >= min(4 * n_v, 12)
+    x = np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(bsr_bucketed_spmm(cap_8, cap_8r, jnp.asarray(x))),
+        np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-5, atol=2e-5)
+
+
+def test_scaled_int8_multigraph_overflow_falls_back():
+    """>127 parallel edges in one tile: the build falls back to value
+    blocks (no int8 wraparound) and numerics stay correct."""
+    n, tile = 128, 64
+    # one (sender, receiver) pair duplicated 300 times inside a dense tile,
+    # plus enough distinct edges to make the tile qualify
+    base_s = np.repeat(np.arange(32, dtype=np.int32), 4)
+    base_r = np.tile(np.arange(4, dtype=np.int32), 32)
+    s = np.concatenate([base_s, np.full(300, 5, np.int32)])
+    r = np.concatenate([base_r, np.full(300, 2, np.int32)])
+    fwd, rev = build_bsr_bucketed_gcn(s, r, n, tile=tile, min_edges=8)
+    assert fwd.inv_scale is None       # fell back to value blocks
+    x = np.random.default_rng(0).normal(size=(n, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(bsr_bucketed_spmm(fwd, rev, jnp.asarray(x))),
+        np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-4, atol=2e-4)
+
+
+def test_scaled_int8_weighted_graph_keeps_values():
+    """Weighted edges are not rank-1: auto disables int8; forcing raises."""
+    n, tile = 256, 64
+    ei = _clustered(n, tile, seed=3)
+    w = np.random.default_rng(7).random(ei.shape[1]).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(ei[0], ei[1], n, edge_weight=w,
+                                      tile=tile, min_edges=8)
+    assert fwd.inv_scale is None
+    with pytest.raises(ValueError):
+        build_bsr_bucketed_gcn(ei[0], ei[1], n, edge_weight=w, tile=tile,
+                               min_edges=8, scaled_int8=True)
