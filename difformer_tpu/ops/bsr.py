@@ -141,31 +141,30 @@ def _dense_tiles(point_to, owner, values, num_rows, num_cols, *, tile,
     dtc = (dkeys % ntc).astype(np.int64)
     per_row = np.bincount(dtr, minlength=ntr)
     kb = int(per_row.max()) if dkeys.size else 0
-    block_col = np.zeros((ntr, max(kb, 1)), np.int32)
-    blocks = np.zeros((ntr, max(kb, 1), tile, tile), np.float32)
-    if dkeys.size:
-        # slot of each dense tile within its block-row (dkeys sorted by tr)
-        row_start = np.zeros(ntr + 1, np.int64)
-        np.add.at(row_start, dtr + 1, 1)
-        row_start = np.cumsum(row_start)
-        slot = np.arange(dkeys.size) - row_start[dtr]
-        block_col[dtr, slot] = dtc.astype(np.int32)
-        # map each dense edge to its (block-row, slot) and fill values
-        if nkeys <= (1 << 26):
-            slot_lookup[dkeys] = slot
-        else:
-            slot_lookup[dense_mask_u] = slot
-        e = dense_edge
-        np.add.at(blocks,
-                  (tr[e], slot_lookup[edge_key[e]],
-                   owner[e] % tile, point_to[e] % tile),
-                  1.0 if fill_ones else values[e])
-    if fill_ones:
-        if blocks.max(initial=0.0) > 127:
-            raise _Int8CountOverflow(">127 parallel edges in a dense tile")
-        blocks = blocks.astype(np.int8)
-    elif np.dtype(block_dtype) != np.float32:
-        blocks = blocks.astype(block_dtype)
+    kb1 = max(kb, 1)
+    out_dtype = np.int8 if fill_ones else block_dtype
+    block_col = np.zeros((ntr, kb1), np.int32)
+    if not dkeys.size:
+        blocks = np.zeros((ntr, kb1, tile, tile), out_dtype)
+        return blocks, block_col, dense_edge
+    # slot of each dense tile within its block-row (dkeys sorted by tr)
+    row_start = np.zeros(ntr + 1, np.int64)
+    np.add.at(row_start, dtr + 1, 1)
+    row_start = np.cumsum(row_start)
+    slot = np.arange(dkeys.size) - row_start[dtr]
+    block_col[dtr, slot] = dtc.astype(np.int32)
+    # map each dense edge to its (block-row, slot) and fill values/counts
+    if nkeys <= (1 << 26):
+        slot_lookup[dkeys] = slot
+    else:
+        slot_lookup[dense_mask_u] = slot
+    e = dense_edge
+    flat = ((tr[e].astype(np.int64) * kb1 + slot_lookup[edge_key[e]]) * tile
+            + owner[e] % tile) * tile + point_to[e] % tile
+    blocks = _fill_blocks_flat(
+        flat, None if fill_ones else values[e],
+        ntr * kb1 * tile * tile, out_dtype,
+    ).reshape(ntr, kb1, tile, tile)
     return blocks, block_col, dense_edge
 
 
@@ -300,6 +299,35 @@ class _Int8CountOverflow(Exception):
     """A dense tile held >127 parallel edges — int8 counts would wrap."""
 
 
+def _fill_blocks_flat(flat, values, size, block_dtype):
+    """Scatter-accumulate ``values`` (or edge counts when ``values is
+    None``) at int64 ``flat`` indices into a fresh [size] array of
+    ``block_dtype``.
+
+    Replaces ``np.add.at`` (round 5): sorting the flat indices first turns
+    the random scatter into duplicate-free ascending writes
+    (sort + ``add.reduceat`` + one sorted fancy assignment), and the
+    target array is allocated in the FINAL dtype — no f32 staging pass,
+    no whole-array ``astype``/``max`` sweep. At ogbn-proteins density the
+    f32-staging ``np.add.at`` build took ~7 min host-side; this path is
+    dominated by one 15M-element argsort (~seconds)."""
+    if flat.size == 0:
+        return np.zeros(size, block_dtype)
+    order = np.argsort(flat, kind="stable")
+    fs = flat[order]
+    starts = np.flatnonzero(np.concatenate(([True], fs[1:] != fs[:-1])))
+    uniq = fs[starts]
+    if values is None:
+        sums = np.diff(np.append(starts, fs.size))
+        if sums.size and sums.max() > 127:
+            raise _Int8CountOverflow(">127 parallel edges in a dense tile")
+    else:
+        sums = np.add.reduceat(values[order], starts)
+    out = np.zeros(size, block_dtype)
+    out[uniq] = sums.astype(block_dtype)
+    return out
+
+
 @struct.dataclass
 class BsrBuckets:
     """One direction of the hybrid with **Kb-bucketed** dense blocks.
@@ -404,21 +432,16 @@ def _build_bucketed_direction(point_to, owner, values, num_nodes, *, tile,
             sel = (rung[dtr] == li)
             bcol[pos_of_row[dtr[sel]], slot_of[sel]] = dtc[sel].astype(
                 np.int32)
-            blocks = np.zeros((m, kb, tile, tile), np.float32)
             esel = rung[e_tr] == li
             eb = e[esel]
-            np.add.at(
-                blocks,
-                (pos_of_row[e_tr[esel]], e_slot[esel],
-                 owner[eb] % tile, point_to[eb] % tile),
-                1.0 if use_int8 else values[eb])
-            if use_int8:
-                if blocks.max(initial=0.0) > 127:
-                    raise _Int8CountOverflow(
-                        ">127 parallel edges in a dense tile")
-                blocks = blocks.astype(np.int8)
-            elif np.dtype(block_dtype) != np.float32:
-                blocks = blocks.astype(block_dtype)
+            flat = ((pos_of_row[e_tr[esel]].astype(np.int64) * kb
+                     + e_slot[esel]) * tile
+                    + owner[eb] % tile) * tile + point_to[eb] % tile
+            blocks = _fill_blocks_flat(
+                flat, None if use_int8 else values[eb],
+                m * kb * tile * tile,
+                np.int8 if use_int8 else block_dtype,
+            ).reshape(m, kb, tile, tile)
             buckets.append((jnp.asarray(blocks), jnp.asarray(bcol),
                             jnp.asarray(rows.astype(np.int32))))
 
