@@ -1134,11 +1134,16 @@ def main():
         calibrate_gather(jax)
 
     if single:
+        single_kw = {}
+        if os.environ.get("BENCH_WITH_TRAINER") == "1":
+            single_kw = dict(with_trainer=True, trainer_epochs=int(
+                os.environ.get("BENCH_TRAINER_EPOCHS", 10)))
         rows = [run_config(
             jax, graph=os.environ.get("BENCH_GRAPH", "clustered"),
             heads=int(os.environ.get("BENCH_HEADS", 1)),
             impl=os.environ.get("BENCH_IMPL", "auto"),
-            remat=os.environ.get("BENCH_REMAT") == "1", **common)]
+            remat=os.environ.get("BENCH_REMAT") == "1", **single_kw,
+            **common)]
         head = rows[0]
     else:
         matrix = [("clustered", 1), ("powerlaw", 1), ("uniform", 1),

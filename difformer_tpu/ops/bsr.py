@@ -299,6 +299,12 @@ class _Int8CountOverflow(Exception):
     """A dense tile held >127 parallel edges — int8 counts would wrap."""
 
 
+# peak bytes the gathered [m, kb, T, F] tile operand of one bucket may
+# occupy; hub buckets beyond it accumulate over kb-chunks in a lax.scan
+# (cf. ops/ell._GATHER_BUDGET_BYTES — same failure mode, tile-level)
+_BSR_GATHER_BUDGET_BYTES = 1 << 30
+
+
 def _fill_blocks_flat(flat, values, size, block_dtype):
     """Scatter-accumulate ``values`` (or edge counts when ``values is
     None``) at int64 ``flat`` indices into a fresh [size] array of
@@ -570,13 +576,41 @@ def _bsr_bucketed_matvec(d: BsrBuckets, x):
     xt = jnp.pad(xs, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     xt = xt.reshape((ntr, t) + trailing)
     out_t = jnp.zeros((ntr, t) + trailing, x.dtype)
+    F = int(np.prod(trailing)) if trailing else 1
     for blocks, bcol, rows in zip(d.blocks, d.block_col, d.row_tiles):
         m, kb = bcol.shape
-        g = jnp.take(xt, bcol.reshape(-1), axis=0)
-        g = g.reshape((m, kb, t) + trailing)
-        # int8 blocks convert on the fly inside the dot (the HBM read
-        # stays 1 byte/entry); f32/bf16 blocks cast as before
-        ob = jnp.einsum("mkrc,mkc...->mr...", blocks.astype(x.dtype), g)
+
+        def bucket_apply(blocks, bcol):
+            g = jnp.take(xt, bcol.reshape(-1), axis=0)
+            g = g.reshape(bcol.shape + (t,) + trailing)
+            # int8 blocks convert on the fly inside the dot (the HBM
+            # read stays 1 byte/entry); f32/bf16 blocks cast as before
+            return jnp.einsum("mkrc,mkc...->mr...",
+                              blocks.astype(x.dtype), g)
+
+        if m * kb * t * F * x.dtype.itemsize <= _BSR_GATHER_BUDGET_BYTES:
+            ob = bucket_apply(blocks, bcol)
+        else:
+            # hub buckets: the gathered [m, kb, T, F] operand exceeds the
+            # transient budget (observed: 3.5 GB/direction at tile=128 on
+            # the proteins-density graph — an HBM OOM on a 16 GB chip).
+            # Accumulate over kb-CHUNKS inside a lax.scan: footprint
+            # m × kc × T × F, every tile still gathered exactly once
+            # (the ops/ell.py k-chunking pattern).
+            kc = int(_BSR_GATHER_BUDGET_BYTES
+                     // max(1, m * t * F * x.dtype.itemsize))
+            kc = min(max(1, kc), kb)
+            nkc = -(-kb // kc)
+            pk = nkc * kc - kb
+            # padded slots gather col-tile 0 with zero blocks
+            b3 = jnp.moveaxis(
+                jnp.pad(blocks, ((0, 0), (0, pk), (0, 0), (0, 0)))
+                .reshape(m, nkc, kc, t, t), 1, 0)
+            c3 = jnp.moveaxis(
+                jnp.pad(bcol, ((0, 0), (0, pk))).reshape(m, nkc, kc), 1, 0)
+            ob, _ = jax.lax.scan(
+                lambda acc, bc: (acc + bucket_apply(bc[0], bc[1]), None),
+                jnp.zeros((m, t) + trailing, x.dtype), (b3, c3))
         out_t = out_t.at[rows].add(ob, indices_are_sorted=True,
                                    unique_indices=True)
     out = out_t.reshape((ntr * t,) + trailing)[: d.num_nodes]
@@ -840,15 +874,17 @@ def degree_sorted_order(senders, receivers, num_nodes):
 
 def choose_spmm(senders, receivers, num_nodes, *, tile=256,
                 coverage_threshold=0.3, try_degree_sort=True,
-                budget_bytes=2.5 * 2 ** 30, block_elem_bytes=2):
+                budget_bytes=2.5 * 2 ** 30, block_elem_bytes=1):
     """'bsr' when enough of the graph is tile-dense to pay for the blocks;
     'bsr-sorted' when it only becomes so after hub-clustering relabeling
     (:func:`degree_sorted_order`); else 'ell'.
 
     Coverage alone is not sufficient: at ogbn-proteins edge density
     (mean degree ~300) EVERY 256-tile holds ≥ min_edges, so coverage
-    reads 1.0 — but materializing all ~260k tiles would take ~34 GB of
-    blocks, far over ``budget_bytes``. In that capped regime the natural
+    reads 1.0 — but materializing all ~260k tiles would take ~17 GB even
+    as int8 counts (``block_elem_bytes=1``, the round-5 scaled-count
+    default for unweighted graphs), far over ``budget_bytes``. In that
+    capped regime the natural
     node order wastes the budget on merely-average tiles; hub-clustering
     first concentrates the kept blocks on the densest region (round-5
     on-chip ladder at N=131072, E=39.5M: pure ELL 1496 ms/step, capped

@@ -581,6 +581,31 @@ def test_scaled_int8_multigraph_overflow_falls_back():
         np.asarray(_ref(x, np.stack([s, r]), n)), rtol=2e-4, atol=2e-4)
 
 
+def test_bucketed_kb_chunked_gather_matches(monkeypatch):
+    """Buckets whose gathered [m, kb, T, F] operand exceeds the transient
+    budget accumulate over kb-chunks in a lax.scan — identical numerics,
+    forward and gradient (regression for the t128/b4.0 proteins-density
+    HBM OOM)."""
+    import difformer_tpu.ops.bsr as bsr_mod
+
+    n, tile = 512, 64
+    ei = _clustered(n, tile, seed=21)
+    x = np.random.default_rng(5).normal(size=(n, 8)).astype(np.float32)
+    fwd, rev = build_bsr_bucketed_gcn(ei[0], ei[1], n, tile=tile,
+                                      min_edges=8)
+    big = np.asarray(bsr_bucketed_spmm(fwd, rev, jnp.asarray(x)))
+    g_big = np.asarray(jax.grad(lambda x: jnp.sum(
+        jnp.sin(bsr_bucketed_spmm(fwd, rev, x))))(jnp.asarray(x)))
+    monkeypatch.setattr(bsr_mod, "_BSR_GATHER_BUDGET_BYTES",
+                        tile * 8 * 4 * 2)      # forces kc < kb everywhere
+    chunk = np.asarray(jax.jit(bsr_mod.bsr_bucketed_spmm)(
+        fwd, rev, jnp.asarray(x)))
+    g_chunk = np.asarray(jax.grad(lambda x: jnp.sum(
+        jnp.sin(bsr_mod.bsr_bucketed_spmm(fwd, rev, x))))(jnp.asarray(x)))
+    np.testing.assert_allclose(chunk, big, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(g_chunk, g_big, rtol=1e-5, atol=1e-6)
+
+
 def test_scaled_int8_weighted_graph_keeps_values():
     """Weighted edges are not rank-1: auto disables int8; forcing raises."""
     n, tile = 256, 64
