@@ -290,9 +290,15 @@ bsr_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 # ---------------------------------------------------------------------------
 
 # bucket ladder for per-row-tile block counts; each row-tile pads its block
-# list up to the next rung, so padding waste is < 2x worst case (~25%
-# typical on a count-sorted power-law tail)
-_KB_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+# list up to the next rung. Rungs step by ~1.5x (power-of-two midpoints
+# inserted, round 5): worst-case padding < 1.5x, measured ~15% on the
+# proteins-density hub rows vs ~38% with the old power-of-two ladder —
+# at a fixed HBM block residency that difference is coverage (the binding
+# constraint at ogbn-proteins density, BENCH_NOTES r5). ~2x the bucket
+# count means ~2x the (tiny) per-bucket gather+einsum kernels per matvec;
+# the blocks they stream shrink by the same ratio.
+_KB_LADDER = (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384,
+              512, 768, 1024, 1536, 2048)
 
 
 class _Int8CountOverflow(Exception):
@@ -344,7 +350,7 @@ class BsrBuckets:
     (observed 32 GB on a Pareto-α2 graph) or a per-row cap that demotes
     profitable tiles to the gather path (the round-2 capped build kept only
     0.22 edge coverage of an available 0.47). Here row-tiles are grouped by
-    their dense-block count into ladder buckets (4, 8, 16, …): each bucket
+    their dense-block count into ladder buckets (4, 6, 8, 12, …): each bucket
     is a small tile-level ELL ``[m_b, kb_b, T, T]`` whose output tiles
     scatter disjointly into the row space — hub rows pay hub cost, tail
     rows pay tail cost, and the byte budget buys ~2× the coverage of the
