@@ -1133,6 +1133,51 @@ def main():
     if os.environ.get("BENCH_CALIBRATE", "1") == "1":
         calibrate_gather(jax)
 
+    rows = []
+
+    def final_json(head, *, partial=False):
+        detail = {
+            "headline": {"graph": head.get("graph"),
+                         "heads": head.get("heads"),
+                         "impl": head.get("impl")},
+            "n_nodes": n, "n_edges": e, "layers": 3, "hidden": 64,
+            "dtype": dtype or "float32",
+            "backend": jax.default_backend(),
+            "gather_calibration": CALIB["detail"],
+            "rows": rows,
+        }
+        if partial:
+            detail["partial"] = True
+        return json.dumps({
+            "metric": "edges_per_s_per_chip",
+            "value": head.get("edges_per_s"),
+            "unit": "edges/s",
+            "vs_baseline": head.get("vs_baseline"),
+            "detail": detail,
+        })
+
+    def _on_term(signum, frame):
+        # The sweep takes over an hour and only prints its JSON line at
+        # the end; a driver-side `timeout` (SIGTERM) must not lose every
+        # row already measured. Emit what exists, marked partial, and
+        # exit hard (a live sigmoid child subprocess, if any, finishes
+        # its own bounded row and dies; os._exit skips atexit/teardown
+        # on purpose — the process is being killed anyway).
+        head = next((r for r in rows
+                     if r.get("graph") == "powerlaw"
+                     and r.get("heads") == 1), None)
+        head = head or next((r for r in rows if r.get("edges_per_s")), None)
+        print(f"# SIGTERM during sweep: emitting {len(rows)} partial "
+              f"row(s)", file=sys.stderr, flush=True)
+        if head is None:
+            os._exit(124)
+        print(final_json(head, partial=True), flush=True)
+        os._exit(0)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     if single:
         single_kw = {}
         if os.environ.get("BENCH_WITH_TRAINER") == "1":
@@ -1331,21 +1376,7 @@ def main():
         head = next(r for r in rows
                     if r["graph"] == "powerlaw" and r["heads"] == 1)
 
-    print(json.dumps({
-        "metric": "edges_per_s_per_chip",
-        "value": head["edges_per_s"],
-        "unit": "edges/s",
-        "vs_baseline": head["vs_baseline"],
-        "detail": {
-            "headline": {"graph": head["graph"], "heads": head["heads"],
-                         "impl": head["impl"]},
-            "n_nodes": n, "n_edges": e, "layers": 3, "hidden": 64,
-            "dtype": dtype or "float32",
-            "backend": jax.default_backend(),
-            "gather_calibration": CALIB["detail"],
-            "rows": rows,
-        },
-    }), flush=True)
+    print(final_json(head), flush=True)
 
 
 if __name__ == "__main__":
